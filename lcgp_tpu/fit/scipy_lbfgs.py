@@ -1,0 +1,68 @@
+"""scipy L-BFGS-B driver over a jitted value_and_grad.
+
+This mirrors the reference's training semantics — gpflow.optimizers.Scipy
+wrapping scipy.optimize.minimize(method='L-BFGS-B') with default options
+(reference lcgp.py:537-540) — but the objective+gradient are one compiled
+XLA executable; the host only runs the optimizer's O(params) vector math.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import numpy as np
+import scipy.optimize
+
+import jax
+from jax.flatten_util import ravel_pytree
+
+
+class FitResult(NamedTuple):
+    params: object          # optimized pytree (same structure as params0)
+    fun: float
+    nit: int
+    nfev: int
+    success: bool
+    message: str
+
+
+def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
+                   **scipy_options) -> FitResult:
+    """Minimize loss_fn(params_pytree) with scipy L-BFGS-B.
+
+    scipy_options are forwarded to scipy's ``options`` dict (maxiter, ftol,
+    gtol, ...); defaults are scipy's, matching gpflow's defaults.
+    """
+    flat0, unravel = ravel_pytree(params0)
+    vg = jax.jit(jax.value_and_grad(lambda flat: loss_fn(unravel(flat))))
+
+    neval = 0
+
+    def fun_and_jac(z):
+        nonlocal neval
+        neval += 1
+        v, g = vg(z)
+        v = float(v)
+        g = np.asarray(g, dtype=np.float64)
+        if not np.isfinite(v):
+            # L-BFGS-B handles inf by backtracking; kill NaN gradients so the
+            # line search can recover instead of poisoning the state.
+            g = np.where(np.isfinite(g), g, 0.0)
+        if verbose:
+            print(f"[lcgp_tpu.fit] eval {neval:4d}  loss {v:.8g}")
+        return v, g
+
+    res = scipy.optimize.minimize(
+        fun_and_jac,
+        np.asarray(flat0, dtype=np.float64),
+        jac=True,
+        method="L-BFGS-B",
+        options=scipy_options or None,
+    )
+    return FitResult(
+        params=unravel(res.x),
+        fun=float(res.fun),
+        nit=int(res.nit),
+        nfev=int(res.nfev),
+        success=bool(res.success),
+        message=str(res.message),
+    )

@@ -1,0 +1,500 @@
+"""The LCGP model class — reference-compatible API over the functional core.
+
+Public surface mirrors the reference class (reference lcgp.py:19-930):
+constructor flags, ``fit``/``loss``/``predict``/``get_param``/``preprocess``,
+standardization helpers, and the same (p, n) output layout.  NumPy in, JAX
+arrays out.
+
+Differences (all documented in DESIGN.md):
+- auxiliary predictive quantities are recomputed whenever parameters change
+  (pure function of (params, data)) instead of a NaN-sentinel cache;
+- the constructor does not print latent variances (exposed as ``g_var``);
+- ``fit(verbose=True)`` actually reports optimizer progress;
+- extra: ``precision='fast'`` (f32 compute), on-device optimizers,
+  ``save``/``load``.
+"""
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import dtype_for, jitter_for
+from ..fit.scipy_lbfgs import minimize_lbfgs
+from ..fit.optax_fit import minimize_adam, minimize_lbfgs_jax
+from . import basis as basis_mod
+from . import likelihood as lik
+from . import params as P
+from . import predict as pred
+from . import transforms as tx
+from .replication import group_replicates
+
+
+class LCGP:
+    """Latent Component Gaussian Process, TPU-native.
+
+    Supports two training/prediction paths:
+      - submethod='full': uses all observations (x, y)
+      - submethod='rep' : groups replicated x rows, uses (x_unique, ybar)
+    """
+
+    def __init__(self,
+                 y=None,
+                 x=None,
+                 q: Optional[int] = None,
+                 var_threshold: Optional[float] = None,
+                 diag_error_structure: Optional[list] = None,
+                 parameter_clamp_flag: bool = False,
+                 robust_mean: bool = True,
+                 submethod: str = 'full',
+                 rep_standardize_ybar: bool = True,
+                 verbose: bool = False,
+                 precision: str = 'high'):
+        if y is None or x is None:
+            raise ValueError('LCGP requires both y (p, n) and x (n, d).')
+
+        self.verbose = verbose
+        self.robust_mean = robust_mean
+        self.rep_standardize_ybar = rep_standardize_ybar
+        self.parameter_clamp_flag = parameter_clamp_flag
+        self.precision = precision
+        self._compute_dtype = None if precision == 'high' else dtype_for(precision)
+        self._jitter = jitter_for(precision)
+
+        self.x = self._verify_data_types(x)
+        self.y = self._verify_data_types(y)
+
+        self.method = 'LCGP'
+        if submethod not in ('full', 'rep'):
+            raise ValueError("Invalid submethod. Choices are 'full' or 'rep'.")
+        self.submethod = submethod
+        self.submethod_loss_map = {'full': self.neglpost, 'rep': self.neglpost_rep}
+        self.submethod_predict_map = {'full': self.predict_full,
+                                      'rep': self.predict_rep}
+
+        if (q is not None) and (var_threshold is not None):
+            raise ValueError('Include only q or var_threshold but not both.')
+        self.q = q
+        self.var_threshold = var_threshold
+
+        self.n, self.d, self.p = self.verify_dim(self.y, self.x)
+
+        self.x_orig = self.x
+        self.y_orig = self.y
+
+        # x standardization (always on the full inputs, lcgp.py:97)
+        self.x, self.x_min, self.x_max, _, self.xnorm = self.init_standard_x(self.x)
+
+        self._rep_initialized = False
+
+        if self.submethod == 'rep':
+            rep = group_replicates(np.asarray(self.x_orig), np.asarray(self.y_orig))
+            n_unique = rep.x_unique.shape[0]
+
+            x_unique = jnp.asarray(rep.x_unique)
+            self.x_unique = x_unique
+            self.x_unique_s = (x_unique - self.x_min) / (self.x_max - self.x_min)
+            self.group_ids = jnp.asarray(rep.group_ids)
+            self.r = jnp.asarray(rep.r)
+            self.ybar = jnp.asarray(rep.ybar)
+
+            ybar_mean, ybar_std = tx.center_spread(
+                self.ybar, self.robust_mean, floor_zero_spread=True)
+            self.ybar_mean = ybar_mean
+            self.ybar_std = ybar_std
+            self.ybar_s = (self.ybar - ybar_mean) / ybar_std
+
+            self.n = int(n_unique)
+            self._rep_initialized = True
+        else:
+            self.y, self.ymean, self.ystd, _ = self.init_standard_y(self.y)
+
+        # SVD basis (lcgp.py:454-485); q resolved on host, shapes static after
+        b = basis_mod.init_phi(np.asarray(self._get_phi_input()),
+                               q=self.q, var_threshold=var_threshold)
+        self.g = jnp.asarray(b.g)
+        self.phi = jnp.asarray(b.phi)
+        self.diag_D = jnp.asarray(b.diag_D)
+        self.q = b.q
+        self.g_var = jnp.asarray(b.g_var)
+        if self.verbose:
+            print('variance of latent g:', np.asarray(self.g_var))
+
+        if diag_error_structure is None:
+            self.diag_error_structure = [1] * int(self.p)
+        else:
+            self.diag_error_structure = diag_error_structure
+        self.verify_error_structure(self.diag_error_structure, self.y)
+        self._sigma_map = jnp.asarray(P.sigma_index_map(self.diag_error_structure))
+
+        # data-driven init (lcgp.py:490-513); note self.y is raw in rep mode
+        self._free = P.init_values(np.asarray(self.x), np.asarray(self.y),
+                                   self.q, self.diag_error_structure)
+        self._params_version = 0
+        self._aux = None
+        self._aux_version = -1
+
+        self._data = self._build_data()
+
+    # ------------------------------------------------------------------
+    # Data containers for the functional core
+    # ------------------------------------------------------------------
+    def _build_data(self):
+        if self.submethod == 'rep':
+            use_std = self.rep_standardize_ybar
+            scale = self.ybar_std[:, 0] if use_std else jnp.ones(int(self.p),
+                                                                dtype=self.ybar.dtype)
+            return lik.RepData(
+                xs=self.x_unique_s,
+                ybar=self.ybar_s if use_std else self.ybar,
+                scale=scale,
+                r=jnp.asarray(self.r, dtype=self.ybar.dtype),
+                phi=self.phi,
+                diag_D=self.diag_D,
+                sigma_map=self._sigma_map,
+            )
+        return lik.FullData(
+            xs=self.x,
+            ys=self.y,
+            phi=self.phi,
+            diag_D=self.diag_D,
+            sigma_map=self._sigma_map,
+        )
+
+    # ------------------------------------------------------------------
+    # Display
+    # ------------------------------------------------------------------
+    def __repr__(self):
+        lLmb, lLmb0, lsigma2s, lnugGPs = self.get_param()
+
+        def fmt(a):
+            return np.array2string(np.asarray(a), precision=4, threshold=8)
+
+        params = (f"\t\tLatent GP lengthscale (lLmb):\t{fmt(lLmb)}\n"
+                  f"\t\tLatent GP scale (lLmb0):\t{fmt(lLmb0)}\n"
+                  f"\t\tDiagonal error log-variance:\t{fmt(lsigma2s)}\n"
+                  f"\t\tLatent GP nugget scale:\t{fmt(lnugGPs)}")
+        return ('LCGP(\n'
+                f'\tsubmethod:\t{self.submethod}\n'
+                f'\toutput dimension:\t{int(self.p)}\n'
+                f'\tnumber of latent components:\t{int(self.q)}\n'
+                f'\tparameter_clamping:\t{self.parameter_clamp_flag}\n'
+                f'\trobust_standardization:\t{self.robust_mean}\n'
+                f'\tdiagonal_error structure:\t{self.diag_error_structure}\n'
+                f'\tparameters:\t\n{params}\n)')
+
+    # ------------------------------------------------------------------
+    # Utils: type checks, dims, transforms (lcgp.py:248-324)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _verify_data_types(t):
+        t = jnp.asarray(t, dtype=jnp.float64)
+        if t.ndim < 2:
+            t = t[:, None]
+        return t
+
+    def verify_dim(self, y, x):
+        p, ny = y.shape[0], y.shape[1]
+        nx, d = x.shape[0], x.shape[1]
+        assert ny == nx, ('Number of inputs (x) differs from number of outputs '
+                          '(y), y.shape[1] != x.shape[0]')
+        return int(nx), int(d), int(p)
+
+    @staticmethod
+    def verify_error_structure(diag_error_structure, y):
+        assert sum(diag_error_structure) == y.shape[0], \
+            'Sum of error_structure should equal the output dimension.'
+        assert all(g > 0 for g in diag_error_structure), \
+            'Error structure groups must be positive.'
+
+    def tx_x(self, xs):
+        return xs * (self.x_max - self.x_min) + self.x_min
+
+    def tx_y(self, ys):
+        return ys * self.ystd + self.ymean
+
+    @staticmethod
+    def init_standard_x(x):
+        xs, x_min, x_max = tx.standardize_x(x)
+        xnorm = jnp.asarray(tx.xnorm(np.asarray(x)))
+        return xs, x_min, x_max, x, xnorm
+
+    def init_standard_y(self, y):
+        ys, c, s = tx.standardize_y(y, self.robust_mean)
+        return ys, c, s, y
+
+    # ------------------------------------------------------------------
+    # Replication structures (lcgp.py:397-434)
+    # ------------------------------------------------------------------
+    @property
+    def R(self):
+        """diag(r) as a dense matrix — materialized on demand only."""
+        return jnp.diag(jnp.asarray(self.r, dtype=jnp.float64))
+
+    def preprocess(self, y_raw=None, x_raw=None):
+        """Replication structures as the reference's 12-tuple
+        (lcgp.py:397-426)."""
+        x_raw = self.x_orig if x_raw is None else self._verify_data_types(x_raw)
+        y_raw = self.y_orig if y_raw is None else self._verify_data_types(y_raw)
+        rep = group_replicates(np.asarray(x_raw), np.asarray(y_raw))
+        n_unique = rep.x_unique.shape[0]
+        x_unique = jnp.asarray(rep.x_unique)
+        x_unique_s = (x_unique - self.x_min) / (self.x_max - self.x_min)
+        r = jnp.asarray(rep.r)
+        R = jnp.diag(jnp.asarray(r, dtype=jnp.float64))
+        ybar = jnp.asarray(rep.ybar)
+        ybar_mean, ybar_std = tx.center_spread(ybar, self.robust_mean,
+                                               floor_zero_spread=True)
+        ybar_s = (ybar - ybar_mean) / ybar_std
+        return (x_unique, x_unique_s, jnp.asarray(rep.group_ids), r, R,
+                ybar, ybar_s, ybar_mean, ybar_std,
+                n_unique, x_unique.shape[1], ybar.shape[0])
+
+    def _ensure_replication(self):
+        if not self._rep_initialized:
+            self.preprocess()
+            self._rep_initialized = True
+
+    def _get_phi_input(self):
+        if self.submethod != 'rep':
+            return self.y
+        if getattr(self, 'rep_standardize_ybar', True) and hasattr(self, 'ybar_s'):
+            return self.ybar_s
+        if hasattr(self, 'ybar'):
+            return self.ybar
+        return self.y
+
+    # ------------------------------------------------------------------
+    # Parameters
+    # ------------------------------------------------------------------
+    @property
+    def lLmb(self):
+        return P.constrain(self._free)[0]
+
+    @property
+    def lLmb0(self):
+        return P.constrain(self._free)[1]
+
+    @property
+    def lsigma2s(self):
+        return P.constrain(self._free)[2]
+
+    @property
+    def lnugGPs(self):
+        return P.constrain(self._free)[3]
+
+    def get_param(self):
+        """(lLmb, lLmb0, per-output lsigma2s, lnugGPs) — grouped error
+        log-variances expanded to (p,) (lcgp.py:515-532)."""
+        lLmb, lLmb0, lsig_g, lnug = P.constrain(self._free)
+        return lLmb, lLmb0, P.expand_sigma(lsig_g, self._sigma_map), lnug
+
+    def set_params(self, lLmb=None, lLmb0=None, lsigma2s=None, lnugGPs=None):
+        """Assign constrained parameter values (grouped lsigma2s)."""
+        cur = P.constrain(self._free)
+        vals = [cur[0] if lLmb is None else jnp.asarray(lLmb, dtype=jnp.float64),
+                cur[1] if lLmb0 is None else jnp.asarray(lLmb0, dtype=jnp.float64),
+                cur[2] if lsigma2s is None else jnp.asarray(lsigma2s, dtype=jnp.float64),
+                cur[3] if lnugGPs is None else jnp.asarray(lnugGPs, dtype=jnp.float64)]
+        self._free = P.unconstrain(*vals)
+        self._params_version += 1
+
+    def init_params(self):
+        """Re-run the data-driven init (lcgp.py:490-513)."""
+        self._free = P.init_values(np.asarray(self.x), np.asarray(self.y),
+                                   self.q, self.diag_error_structure)
+        self._params_version += 1
+
+    # ------------------------------------------------------------------
+    # Training
+    # ------------------------------------------------------------------
+    def loss(self):
+        try:
+            return self.submethod_loss_map[self.submethod]()
+        except KeyError:
+            raise ValueError("Invalid submethod. Choices are 'full' or 'rep'.")
+
+    def neglpost(self):
+        return lik.neglpost_full(self._free, self._data,
+                                 compute_dtype=self._compute_dtype,
+                                 jitter=self._jitter)
+
+    def neglpost_rep(self):
+        return lik.neglpost_rep(self._free, self._data,
+                                compute_dtype=self._compute_dtype,
+                                jitter=self._jitter)
+
+    def _loss_fn(self):
+        return lik.make_loss(self.submethod, self._data,
+                             compute_dtype=self._compute_dtype,
+                             jitter=self._jitter)
+
+    def fit(self, verbose: bool = False, method: str = 'scipy', **kwargs):
+        """Optimize hyperparameters.
+
+        method='scipy'  : scipy L-BFGS-B over jitted value_and_grad (the
+                          reference's semantics, lcgp.py:537-540).
+        method='adam'   : on-device Adam (kwargs: steps, learning_rate).
+        method='lbfgs-jax': on-device optax L-BFGS (kwargs: maxiter, tol).
+        """
+        loss_fn = self._loss_fn()
+        if method == 'scipy':
+            res = minimize_lbfgs(loss_fn, self._free,
+                                 verbose=verbose or self.verbose, **kwargs)
+        elif method == 'adam':
+            res = minimize_adam(loss_fn, self._free, **kwargs)
+        elif method == 'lbfgs-jax':
+            res = minimize_lbfgs_jax(loss_fn, self._free, **kwargs)
+        else:
+            raise ValueError(f'Unknown fit method {method!r}.')
+        self._free = res.params
+        self._params_version += 1
+        self._fit_result = res
+        return
+
+    # ------------------------------------------------------------------
+    # Prediction
+    # ------------------------------------------------------------------
+    def _ensure_aux(self):
+        if self._aux is None or self._aux_version != self._params_version:
+            if self.submethod == 'rep':
+                self._aux = pred.compute_aux_rep(
+                    self._free, self._data, compute_dtype=self._compute_dtype,
+                    jitter=self._jitter)
+            else:
+                self._aux = pred.compute_aux_full(
+                    self._free, self._data, compute_dtype=self._compute_dtype,
+                    jitter=self._jitter)
+            self._aux_version = self._params_version
+        return self._aux
+
+    def compute_aux_predictive_quantities(self):
+        if self.submethod == 'rep':
+            return self._compute_aux_predictive_quantities_rep()
+        self._aux = None
+        self._ensure_aux()
+
+    def _compute_aux_predictive_quantities_rep(self):
+        self._aux = None
+        self._ensure_aux()
+
+    @property
+    def CinvMs(self):
+        return self._ensure_aux().CinvM
+
+    @property
+    def Ths(self):
+        """Full path: the stored Cholesky factors play the role of the
+        reference's Th_k (Th_k^2 = D_k (I + D_k C_k)^{-1})."""
+        if self.submethod == 'rep':
+            return None
+        return self._ensure_aux().LB
+
+    @property
+    def Tks(self):
+        if self.submethod != 'rep':
+            return None
+        return self._ensure_aux().LT
+
+    @property
+    def mks(self):
+        if self.submethod != 'rep':
+            return None
+        return self._ensure_aux().mks
+
+    @property
+    def psi_c(self):
+        if self.submethod != 'rep':
+            return None
+        return self._ensure_aux().psi_c
+
+    def predict(self, x0, return_fullcov: bool = False):
+        x0 = self._verify_data_types(x0)
+        try:
+            predict_call = self.submethod_predict_map[self.submethod]
+        except KeyError:
+            raise KeyError("Invalid submethod.  Choices are 'full' or 'rep'.")
+        return predict_call(x0=x0, return_fullcov=return_fullcov)
+
+    def _standardize_x0(self, x0):
+        x0 = self._verify_data_types(x0)
+        return (x0 - self.x_min) / (self.x_max - self.x_min)
+
+    def predict_full(self, x0, return_fullcov: bool = False):
+        aux = self._ensure_aux()
+        x0s = self._standardize_x0(x0)
+        ghat, gvar = pred.predict_full_core(
+            self._free, self._data, aux, x0s,
+            compute_dtype=self._compute_dtype, jitter=self._jitter)
+        self.ghat, self.gvar = ghat, gvar
+        ypred, ypredvar, yconfvar = pred.recombine_full(
+            self._free, self._data, ghat, gvar, self.ymean, self.ystd)
+        if return_fullcov:
+            yfullpredcov = pred.fullcov_full(self._free, self._data, gvar,
+                                             self.ystd)
+            return ypred, ypredvar, yconfvar, yfullpredcov
+        return ypred, ypredvar, yconfvar
+
+    def predict_rep(self, x0, return_fullcov: bool = False):
+        aux = self._ensure_aux()
+        x0s = self._standardize_x0(x0)
+        ghat, gvar = pred.predict_rep_core(
+            self._free, self._data, aux, x0s,
+            compute_dtype=self._compute_dtype, jitter=self._jitter)
+        self.ghat, self.gvar = ghat, gvar
+        if self.rep_standardize_ybar:
+            mean, std = self.ybar_mean, self.ybar_std
+        else:
+            mean = jnp.zeros_like(self.ybar_mean)
+            std = jnp.ones_like(self.ybar_std)
+        ypred, ypredvar, yconfvar = pred.recombine_rep(
+            self._free, self._data, ghat, gvar, mean, std)
+        if return_fullcov:
+            # full predictive covariance is full-path-only (lcgp.py:928-929)
+            return ypred, ypredvar, yconfvar, None
+        return ypred, ypredvar, yconfvar
+
+    # ------------------------------------------------------------------
+    # Persistence (new; SURVEY §5 "Checkpoint/resume: absent" in reference)
+    # ------------------------------------------------------------------
+    def save(self, path):
+        lLmb, lLmb0, lsig_g, lnug = P.constrain(self._free)
+        cfg = dict(q=int(self.q), var_threshold=self.var_threshold,
+                   diag_error_structure=list(self.diag_error_structure),
+                   parameter_clamp_flag=self.parameter_clamp_flag,
+                   robust_mean=self.robust_mean, submethod=self.submethod,
+                   rep_standardize_ybar=self.rep_standardize_ybar,
+                   precision=self.precision)
+        np.savez(path,
+                 config=json.dumps(cfg),
+                 x_orig=np.asarray(self.x_orig),
+                 y_orig=np.asarray(self.y_orig),
+                 # free (unconstrained) values are the source of truth so the
+                 # roundtrip is exact; constrained values stored for inspection
+                 free_lLmb=np.asarray(self._free.lLmb),
+                 free_lLmb0=np.asarray(self._free.lLmb0),
+                 free_lsigma2s=np.asarray(self._free.lsigma2s),
+                 free_lnugGPs=np.asarray(self._free.lnugGPs),
+                 lLmb=np.asarray(lLmb), lLmb0=np.asarray(lLmb0),
+                 lsigma2s=np.asarray(lsig_g), lnugGPs=np.asarray(lnug))
+
+    @classmethod
+    def load(cls, path):
+        z = np.load(path, allow_pickle=False)
+        cfg = json.loads(str(z['config']))
+        model = cls(y=z['y_orig'], x=z['x_orig'],
+                    q=cfg['q'], var_threshold=None,
+                    diag_error_structure=cfg['diag_error_structure'],
+                    parameter_clamp_flag=cfg['parameter_clamp_flag'],
+                    robust_mean=cfg['robust_mean'], submethod=cfg['submethod'],
+                    rep_standardize_ybar=cfg['rep_standardize_ybar'],
+                    precision=cfg.get('precision', 'high'))
+        model._free = P.FreeParams(jnp.asarray(z['free_lLmb']),
+                                   jnp.asarray(z['free_lLmb0']),
+                                   jnp.asarray(z['free_lsigma2s']),
+                                   jnp.asarray(z['free_lnugGPs']))
+        model._params_version += 1
+        return model

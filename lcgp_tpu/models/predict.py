@@ -1,0 +1,188 @@
+"""Predictive distributions.
+
+``compute_aux_*`` are pure functions of (params, data); the model layer
+recomputes them whenever parameters change — by construction there is no
+stale-cache hazard (the reference recomputes only when its NaN sentinel is
+set, SURVEY §3.5.1).
+
+eigh/explicit-inverse free (DESIGN.md):
+
+- full path (reference lcgp.py:685-726): store L_Bk = chol(I + D_k C_k);
+  mean solve is (I + D_k C_k)^{-1} B_k, and the posterior variance uses
+  Th_k^2 = D_k (I + D_k C_k)^{-1}, i.e. one triangular solve per test block.
+- rep path (reference lcgp.py:728-803): T_k = (C_k + (d_k R)^{-1})^{-1}
+  (matrix-inversion-lemma form of C^{-1} - C^{-1}(C^{-1}+d_k R)^{-1}C^{-1}),
+  so store L_Tk = chol(C_k + diag(1/(d_k r))) — the reference's two explicit
+  inverses (tf.linalg.inv at lcgp.py:787) disappear.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import linalg
+from ..ops.gram import gram_stack
+from ..ops.matern import matern32_diag
+from . import params as P
+from .likelihood import FullData, RepData, _bmv
+
+
+class FullAux(NamedTuple):
+    CinvM: jnp.ndarray   # (q, n)
+    LB: jnp.ndarray      # (q, n, n) chol(I + D_k C_k)
+
+
+class RepAux(NamedTuple):
+    CinvM: jnp.ndarray   # (q, n)
+    LT: jnp.ndarray      # (q, n, n) chol(C_k + diag(1/(d_k r)))
+    mks: jnp.ndarray     # (q, n) training-point latent means (diagnostic,
+                         # reference lcgp.py:779,800)
+    psi_c: jnp.ndarray   # (q, p) Phi^T Sigma^{-1/2}_used (diagnostic; the
+                         # reference's version broadcasts incorrectly when
+                         # q != p, lcgp.py:754 — fixed here)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+def compute_aux_full(free: P.FreeParams, data: FullData,
+                     compute_dtype=None, jitter: float = 0.0) -> FullAux:
+    lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
+    lsig = P.expand_sigma(lsig_g, data.sigma_map)
+    sigma = jnp.exp(lsig)
+
+    B = (data.ys.T / jnp.sqrt(sigma)[None, :]) @ data.phi      # (n, q)
+    C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
+                   compute_dtype=compute_dtype)
+    LB = linalg.cholesky(
+        linalg.add_diag(data.diag_D[:, None, None].astype(C.dtype) * C,
+                        1.0 + jitter))
+    CinvM = linalg.cho_solve_vec(LB, B.T.astype(LB.dtype))      # (q, n)
+    return FullAux(CinvM=CinvM, LB=LB)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+def predict_full_core(free: P.FreeParams, data: FullData, aux: FullAux, x0s,
+                      compute_dtype=None, jitter: float = 0.0):
+    """Latent predictive mean/var at standardized x0s.  Returns (ghat, gvar),
+    each (q, n0)."""
+    lLmb, lLmb0, _, lnug = P.constrain(free)
+    c00 = matern32_diag(x0s, lLmb0)                             # (q, n0)
+    c0 = gram_stack(x0s, data.xs, lLmb, lLmb0, lnug, same=False,
+                    compute_dtype=compute_dtype)                # (q, n0, n)
+    ghat = _bmv(c0, aux.CinvM)
+    M = linalg.solve_tri_lower(aux.LB, jnp.swapaxes(c0, -1, -2))  # (q, n, n0)
+    gvar = c00.astype(M.dtype) - data.diag_D[:, None].astype(M.dtype) * \
+        jnp.sum(jnp.square(M), axis=-2)
+    return ghat, gvar
+
+
+@jax.jit
+def recombine_full(free: P.FreeParams, data: FullData, ghat, gvar, ymean, ystd):
+    """Latent -> output space (reference predict_full, lcgp.py:840-848)."""
+    _, _, lsig_g, _ = P.constrain(free)
+    lsig = P.expand_sigma(lsig_g, data.sigma_map)
+    sigma = jnp.exp(lsig)
+
+    psi = data.phi.T * jnp.sqrt(sigma)[None, :]                 # (q, p)
+    predmean = psi.T @ ghat                                     # (p, n0)
+    confvar = gvar.T @ jnp.square(psi)                          # (n0, p)
+    predvar = confvar + sigma[None, :]
+
+    ypred = predmean * ystd + ymean
+    yconfvar = confvar.T * jnp.square(ystd)
+    ypredvar = predvar.T * jnp.square(ystd)
+    return ypred, ypredvar, yconfvar
+
+
+@jax.jit
+def fullcov_full(free: P.FreeParams, data: FullData, gvar, ystd):
+    """(n0, p, p) full predictive covariance (reference lcgp.py:850-857)."""
+    _, _, lsig_g, _ = P.constrain(free)
+    lsig = P.expand_sigma(lsig_g, data.sigma_map)
+    sigma = jnp.exp(lsig)
+    psi = data.phi.T * jnp.sqrt(sigma)[None, :]                 # (q, p)
+
+    CH = jnp.einsum('kn,kp->npk', jnp.sqrt(gvar), psi)          # (n0, p, q)
+    cov = CH @ jnp.swapaxes(CH, -1, -2)
+    cov = cov + jnp.diag(sigma)[None, :, :]
+    ystd_vec = ystd[:, 0]
+    return cov * (ystd_vec[:, None] * ystd_vec[None, :])[None, :, :]
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+def compute_aux_rep(free: P.FreeParams, data: RepData,
+                    compute_dtype=None, jitter: float = 0.0) -> RepAux:
+    lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
+    lsig = P.expand_sigma(lsig_g, data.sigma_map)
+    sigma_raw = jnp.exp(lsig)
+    r = data.r
+    sr = jnp.sqrt(r)
+
+    sigma_inv_sqrt = data.scale / jnp.sqrt(sigma_raw)           # (p,)
+    v = data.phi * sigma_inv_sqrt[:, None]                      # (p, q)
+    b = r[None, :] * (data.ybar.T @ v).T                        # (q, n)
+
+    C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
+                   compute_dtype=compute_dtype)
+    D = data.diag_D.astype(C.dtype)
+    sd = jnp.sqrt(D)
+
+    # Woodbury mean m_k = (C^{-1} + d_k R)^{-1} b_k  (same algebra as loss)
+    Cb = _bmv(C, b.astype(C.dtype))
+    A = linalg.add_diag(
+        D[:, None, None] * (C * sr[None, None, :] * sr[None, :, None]),
+        1.0 + jitter)
+    LA = linalg.cholesky(A)
+    z = linalg.cho_solve_vec(LA, sd[:, None] * sr[None, :] * Cb)
+    m = Cb - _bmv(C, sd[:, None] * sr[None, :] * z)             # (q, n)
+
+    CinvM = b.astype(C.dtype) - D[:, None] * r[None, :] * m
+
+    # T_k = (C_k + diag(1/(d_k r)))^{-1}, stored as its Cholesky factor
+    LT = linalg.cholesky(
+        linalg.add_diag(C, 1.0 / (D[:, None] * r[None, :]) + jitter))
+
+    psi_c = data.phi.T * sigma_inv_sqrt[None, :]                # (q, p)
+    return RepAux(CinvM=CinvM, LT=LT, mks=m, psi_c=psi_c)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+def predict_rep_core(free: P.FreeParams, data: RepData, aux: RepAux, x0s,
+                     compute_dtype=None, jitter: float = 0.0):
+    lLmb, lLmb0, _, lnug = P.constrain(free)
+    c00 = matern32_diag(x0s, lLmb0)
+    c0 = gram_stack(x0s, data.xs, lLmb, lLmb0, lnug, same=False,
+                    compute_dtype=compute_dtype)                # (q, n0, n)
+    ghat = _bmv(c0, aux.CinvM)
+    M = linalg.solve_tri_lower(aux.LT, jnp.swapaxes(c0, -1, -2))
+    gvar = c00.astype(M.dtype) - jnp.sum(jnp.square(M), axis=-2)
+    return ghat, gvar
+
+
+@jax.jit
+def recombine_rep(free: P.FreeParams, data: RepData, ghat, gvar,
+                  ybar_mean, ybar_std):
+    """Latent -> output space, rep variant (reference lcgp.py:902-926).
+
+    ``data.scale`` already encodes rep_standardize_ybar; un-standardization
+    multiplies by ybar_std only when it was applied (scale != 1), which the
+    caller passes as ybar_mean/ybar_std or zeros/ones.
+    """
+    _, _, lsig_g, _ = P.constrain(free)
+    lsig = P.expand_sigma(lsig_g, data.sigma_map)
+    sigma_raw = jnp.exp(lsig)
+
+    sigma_sqrt_used = jnp.sqrt(sigma_raw) / data.scale
+    sigma_var_used = sigma_raw / jnp.square(data.scale)
+
+    Psi = data.phi * sigma_sqrt_used[:, None]                   # (p, q)
+    predmean_used = Psi @ ghat                                  # (p, n0)
+    confvar_used = jnp.square(Psi) @ gvar
+    predvar_used = confvar_used + sigma_var_used[:, None]
+
+    ypred = predmean_used * ybar_std + ybar_mean
+    yconfvar = confvar_used * jnp.square(ybar_std)
+    ypredvar = predvar_used * jnp.square(ybar_std)
+    return ypred, ypredvar, yconfvar

@@ -1,0 +1,53 @@
+"""Gram-stack dispatch: Pallas TPU kernel when it applies, jnp otherwise.
+
+The Pallas path (``matern_pallas``) builds the (q,n1,n2) stack in one pass
+through VMEM — the d-dimensional outer-difference accumulation, exp, nugget,
+and amplitude all fused — and only supports float32 on real TPUs.  Every
+other case (float64, CPU, tiny shapes where launch overhead dominates) falls
+back to the jnp implementation, which XLA fuses adequately.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from .matern import matern32_gram
+
+# Pallas pays off once the tile grid is non-trivial.
+_PALLAS_MIN_N = 256
+
+
+def _pallas_applicable(x1, x2, dtype) -> bool:
+    if os.environ.get("LCGP_TPU_DISABLE_PALLAS"):
+        return False
+    if dtype != jnp.float32:
+        return False
+    if jax.default_backend() in ("cpu",):
+        return False
+    return x1.shape[0] >= _PALLAS_MIN_N and x2.shape[0] >= _PALLAS_MIN_N
+
+
+def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
+               compute_dtype=None):
+    """Batched Matérn 3/2 Gram stack with optional compute-dtype override.
+
+    compute_dtype=None keeps the input dtype (float64 parity path);
+    jnp.float32 selects the fast MXU/Pallas path.
+    """
+    if compute_dtype is not None:
+        dt = jnp.dtype(compute_dtype)
+        x1 = jnp.asarray(x1, dtype=dt)
+        x2 = jnp.asarray(x2, dtype=dt)
+        lengthscales = jnp.asarray(lengthscales, dtype=dt)
+        amplitudes = jnp.asarray(amplitudes, dtype=dt)
+        nuggets = jnp.asarray(nuggets, dtype=dt)
+    else:
+        dt = jnp.asarray(x1).dtype
+
+    if _pallas_applicable(jnp.asarray(x1), jnp.asarray(x2), dt):
+        from .matern_pallas import matern32_gram_pallas
+        return matern32_gram_pallas(x1, x2, lengthscales, amplitudes, nuggets,
+                                    same=same)
+    return matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, same=same)

@@ -1,0 +1,122 @@
+"""Matérn 3/2 separable product kernel, batched over latent components.
+
+Behavioral contract comes from the reference ``Matern32`` (reference
+covmat.py:5-55), including its quirks (SURVEY.md §3.5.9):
+
+- per-dimension lengthscales ``llmb`` divide the inputs directly (despite the
+  ``l``-prefix these are *constrained positive values*, not logs);
+- ``C0 = prod_j (1 + S_j) * exp(-sum_j S_j)`` with ``S_j = |u_j - v_j|``;
+- nugget ``eta = lnug / (1 + lnug)``; the full matrix is
+  ``llmb0 * ((1-eta) C0 + eta I)`` when x1 and x2 are *identical*, and
+  ``llmb0 * (1-eta) C0`` (no diagonal) for cross-covariances;
+- ``diag_only=True`` returns ``llmb0 * ones`` (amplitude only, no nugget),
+  and requires x1 ≈ x2.
+
+The TPU-native design batches the q independent components as a leading axis
+(one (q,n1,n2) Gram stack per call) instead of the reference's per-k Python
+loop — this is what lets every downstream factorization run as batched XLA
+linalg on the MXU.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
+    """Batched Gram stack.
+
+    Parameters
+    ----------
+    x1 : (n1, d) inputs.
+    x2 : (n2, d) inputs.
+    lengthscales : (q, d) per-component, per-dimension lengthscales.
+    amplitudes : (q,) per-component amplitude (the reference's ``llmb0``).
+    nuggets : (q,) per-component raw nugget parameter (the reference's
+        ``lnug``); the effective nugget is ``lnug / (1 + lnug)``.
+    same : static bool — True iff x1 and x2 are the *same* points, which
+        switches on the nugget diagonal (reference covmat.py:46-53).  This is
+        a static argument because the reference decides it with a
+        data-dependent ``tf.reduce_all(tf.equal(...))`` which cannot exist
+        under jit; all internal call sites know it statically.
+
+    Returns
+    -------
+    (q, n1, n2) covariance stack.
+    """
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    lengthscales = jnp.atleast_2d(jnp.asarray(lengthscales))
+    amplitudes = jnp.atleast_1d(jnp.asarray(amplitudes))
+    nuggets = jnp.atleast_1d(jnp.asarray(nuggets))
+
+    d = x1.shape[1]
+    inv_l = 1.0 / lengthscales  # (q, d)
+    u1 = x1[None, :, :] * inv_l[:, None, :]  # (q, n1, d)
+    u2 = x2[None, :, :] * inv_l[:, None, :]  # (q, n2, d)
+
+    q, n1 = u1.shape[0], u1.shape[1]
+    n2 = u2.shape[1]
+    dt = u1.dtype
+    prod = jnp.ones((q, n1, n2), dtype=dt)
+    ssum = jnp.zeros((q, n1, n2), dtype=dt)
+    # d is static and small (1..tens); an unrolled loop lets XLA fuse each
+    # outer-difference into the accumulators without materializing (n1,n2,d).
+    for j in range(d):
+        s = jnp.abs(u1[:, :, j][:, :, None] - u2[:, :, j][:, None, :])
+        prod = prod * (1.0 + s)
+        ssum = ssum + s
+    c0 = prod * jnp.exp(-ssum)
+
+    eta = nuggets / (1.0 + nuggets)  # (q,)
+    c = (1.0 - eta)[:, None, None] * c0
+    if same:
+        c = c + eta[:, None, None] * jnp.eye(n1, dtype=dt)[None, :, :]
+    return amplitudes[:, None, None] * c
+
+
+def matern32_diag(x0, amplitudes, n_components: int | None = None):
+    """Batched prior variance at x0: ``amp * 1`` per point (covmat.py:23-29).
+
+    Returns (q, n0).
+    """
+    amplitudes = jnp.atleast_1d(jnp.asarray(amplitudes))
+    n0 = jnp.asarray(x0).shape[0]
+    return amplitudes[:, None] * jnp.ones((amplitudes.shape[0], n0), dtype=amplitudes.dtype)
+
+
+def Matern32(x1, x2, llmb, llmb0, lnug, diag_only: bool = False):
+    """Single-component kernel with the reference's exact public signature
+    and validation behavior (reference covmat.py:5-55).
+
+    Accepts concrete (non-traced) arrays; the nugget-on-diagonal decision
+    follows the reference's runtime rules: shapes must match *and* all values
+    be equal.  Inside jit, use :func:`matern32_gram` with a static ``same``.
+    """
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    assert x1.ndim == 2, 'input x1 should be 2-dimensional, (n_param, dim_param)'
+    assert x2.ndim == 2, 'input x2 should be 2-dimensional, (n_param, dim_param)'
+    assert x1.shape[1] == x2.shape[1], \
+        'the dim_param of input x1 and x2 should be the same.'
+
+    llmb = jnp.asarray(llmb, dtype=x1.dtype)
+    llmb0 = jnp.asarray(llmb0, dtype=x1.dtype)
+    lnug = jnp.asarray(lnug, dtype=x1.dtype)
+    if llmb.ndim == 0:
+        llmb = llmb[None]
+
+    if diag_only:
+        # same tolerance rule as the reference's assert (covmat.py:25)
+        assert bool(np.all(np.abs(np.asarray(x1 - x2))
+                           <= 1e-6 + 1e-6 * np.abs(np.asarray(x2)))), \
+            'diag_only should only be called when x1 and x2 are identical.'
+        return matern32_diag(x1, llmb0)[0]
+
+    if x1.shape != x2.shape:
+        same = False
+    else:
+        same = bool(np.array_equal(np.asarray(x1), np.asarray(x2)))
+    return matern32_gram(x1, x2, llmb[None, :], llmb0[None], lnug[None],
+                         same=same)[0]

@@ -1,0 +1,140 @@
+"""Multi-chip sharding (SURVEY §2.3).
+
+The reference's only intra-model concurrency is joblib threading over the q
+independent latent components (reference lcgp.py:718-720, 792-794).  The
+TPU-native mapping is a 2-D device mesh:
+
+- axis ``'comp'`` shards the q component stack — each device factorizes its
+  own slice of the (q,n,n) Gram/Cholesky stack (the per-k linalg is
+  embarrassingly parallel, exactly what joblib exploited on CPU threads);
+- axis ``'out'`` shards the p output axis of Y/phi — the p-contractions
+  (``Y^T (phi/sigma)`` and the diagonal data terms) become XLA all-reduces
+  over ICI.
+
+No explicit collectives: parameters/data are placed with NamedSharding and
+GSPMD propagates, inserting psums where the q/p reductions need them.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.likelihood import FullData, RepData, neglpost_full, neglpost_rep
+from ..models.params import FreeParams
+
+
+def make_mesh(n_comp: Optional[int] = None, n_out: int = 1,
+              devices=None) -> Mesh:
+    """Build a ('comp', 'out') mesh from the available devices."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if n_comp is None:
+        n_comp = max(1, len(devices) // n_out)
+    need = n_comp * n_out
+    if need > len(devices):
+        raise ValueError(f'mesh {n_comp}x{n_out} needs {need} devices, '
+                         f'have {len(devices)}')
+    arr = np.array(devices[:need]).reshape(n_comp, n_out)
+    return Mesh(arr, ('comp', 'out'))
+
+
+def param_shardings(mesh: Mesh) -> FreeParams:
+    """q-stacked hyperparameters shard over 'comp'; grouped error variances
+    are tiny and replicated."""
+    return FreeParams(
+        lLmb=NamedSharding(mesh, P('comp', None)),
+        lLmb0=NamedSharding(mesh, P('comp')),
+        lsigma2s=NamedSharding(mesh, P()),
+        lnugGPs=NamedSharding(mesh, P('comp')),
+    )
+
+
+def data_shardings(mesh: Mesh, data):
+    """Y/phi shard their p axis over 'out'; inputs and small vectors
+    replicate."""
+    if isinstance(data, RepData):
+        return RepData(
+            xs=NamedSharding(mesh, P()),
+            ybar=NamedSharding(mesh, P('out', None)),
+            scale=NamedSharding(mesh, P('out')),
+            r=NamedSharding(mesh, P()),
+            phi=NamedSharding(mesh, P('out', None)),
+            diag_D=NamedSharding(mesh, P()),
+            sigma_map=NamedSharding(mesh, P('out')),
+        )
+    return FullData(
+        xs=NamedSharding(mesh, P()),
+        ys=NamedSharding(mesh, P('out', None)),
+        phi=NamedSharding(mesh, P('out', None)),
+        diag_D=NamedSharding(mesh, P()),
+        sigma_map=NamedSharding(mesh, P('out')),
+    )
+
+
+def place(tree, shardings):
+    """device_put every leaf with its matching NamedSharding."""
+    return jax.tree.map(jax.device_put, tree, shardings,
+                        is_leaf=lambda x: x is None)
+
+
+def _loss_for(data):
+    if isinstance(data, RepData):
+        return lambda free, d: neglpost_rep(free, d)
+    return lambda free, d: neglpost_full(free, d)
+
+
+def make_sharded_value_and_grad(mesh: Mesh, data):
+    """jit value_and_grad of the loss with explicit in/out shardings.
+
+    The (q,n,n) Gram stack inherits the 'comp' sharding from the
+    lengthscale parameters by propagation; per-component Cholesky runs
+    device-local, and the final q-sum all-reduces over 'comp'.
+    """
+    loss = _loss_for(data)
+    ps = param_shardings(mesh)
+    ds = data_shardings(mesh, data)
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        jax.value_and_grad(loss),
+        in_shardings=(ps, ds),
+        out_shardings=(repl, ps),
+    )
+
+
+def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
+                learning_rate: float = 5e-2):
+    """On-device Adam over the mesh.  Returns (free_params, final_loss).
+
+    One jitted scan: parameters and optimizer state stay sharded over
+    'comp' for the whole loop; only the final scalar loss leaves the mesh.
+    """
+    import optax
+
+    loss = _loss_for(data)
+    opt = optax.adam(learning_rate)
+    ps = param_shardings(mesh)
+    ds = data_shardings(mesh, data)
+
+    free0 = place(free0, ps)
+    data = place(data, ds)
+
+    @jax.jit
+    def run(free, d):
+        state = opt.init(free)
+
+        def body(carry, _):
+            free, state = carry
+            v, g = jax.value_and_grad(loss)(free, d)
+            updates, state = opt.update(g, state, free)
+            free = optax.apply_updates(free, updates)
+            return (free, state), v
+
+        (free, _), losses = jax.lax.scan(body, (free, state), None,
+                                         length=steps)
+        return free, losses[-1]
+
+    return run(free0, data)

@@ -1,0 +1,59 @@
+import numpy as np
+import pytest
+
+from lcgp_tpu import LCGP
+
+
+def _problem(seed=0, n=35):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, (n, 1))
+    f = np.vstack([np.sin(5 * x[:, 0]), x[:, 0] ** 2])
+    y = f + rng.normal(0, 0.05, f.shape)
+    return x, y
+
+
+class TestFitMethods:
+    def test_scipy_default(self):
+        x, y = _problem(0)
+        m = LCGP(y=y, x=x)
+        l0 = float(m.loss())
+        m.fit()
+        assert float(m.loss()) < l0
+        assert m._fit_result.nit > 0
+
+    def test_adam(self):
+        x, y = _problem(1)
+        m = LCGP(y=y, x=x)
+        l0 = float(m.loss())
+        m.fit(method='adam', steps=100, learning_rate=5e-2)
+        assert float(m.loss()) < l0
+
+    def test_lbfgs_jax(self):
+        x, y = _problem(2)
+        m = LCGP(y=y, x=x)
+        l0 = float(m.loss())
+        m.fit(method='lbfgs-jax', maxiter=100)
+        assert float(m.loss()) < l0
+
+    def test_unknown_method(self):
+        x, y = _problem(3)
+        m = LCGP(y=y, x=x)
+        with pytest.raises(ValueError):
+            m.fit(method='sgd-magic')
+
+    def test_scipy_and_jax_lbfgs_agree(self):
+        """Two independent optimizers should reach comparable optima."""
+        x, y = _problem(4)
+        m1 = LCGP(y=y, x=x)
+        m1.fit()
+        m2 = LCGP(y=y, x=x)
+        m2.fit(method='lbfgs-jax', maxiter=300)
+        l1, l2 = float(m1.loss()), float(m2.loss())
+        assert abs(l1 - l2) < 0.05 * (1 + min(abs(l1), abs(l2)))
+
+    def test_verbose_prints(self, capsys):
+        x, y = _problem(5)
+        m = LCGP(y=y, x=x)
+        m.fit(verbose=True, maxiter=3)
+        out = capsys.readouterr().out
+        assert 'loss' in out

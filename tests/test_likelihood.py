@@ -1,0 +1,115 @@
+"""Cross-implementation parity: production (Cholesky, q-batched) vs the
+NumPy oracle that follows the reference's own computational path (eigh /
+explicit solves).  This is the SURVEY §4 'cross-implementation oracle'."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lcgp_tpu.models import likelihood as lik
+from lcgp_tpu.models import params as P
+from lcgp_tpu.models import basis as basis_mod
+import oracle
+
+
+def _full_setup(seed=0, n=30, d=2, p=4, q=None, err=None):
+    rng = np.random.default_rng(seed)
+    xs = rng.uniform(0, 1, (n, d))
+    ys = rng.standard_normal((p, n))
+    ys = (ys - ys.mean(1, keepdims=True)) / ys.std(1, keepdims=True)
+    b = basis_mod.init_phi(ys, q=q)
+    err = err or [1] * p
+    data = lik.FullData(xs=jnp.asarray(xs), ys=jnp.asarray(ys),
+                        phi=jnp.asarray(b.phi), diag_D=jnp.asarray(b.diag_D),
+                        sigma_map=jnp.asarray(P.sigma_index_map(err)))
+    lLmb = rng.uniform(0.3, 2.0, (b.q, d))
+    lLmb0 = rng.uniform(0.5, 2.0, b.q)
+    lsig = rng.uniform(-3, -1, len(err))
+    lnug = rng.uniform(1e-5, 1e-3, b.q)
+    free = P.unconstrain(jnp.asarray(lLmb), jnp.asarray(lLmb0),
+                         jnp.asarray(lsig), jnp.asarray(lnug))
+    return data, free, (lLmb, lLmb0, lsig, lnug), b, xs, ys, err
+
+
+def _rep_setup(seed=0, n=18, d=1, p=3, reps=3, use_std=True, err=None):
+    rng = np.random.default_rng(seed)
+    xu = rng.uniform(0, 1, (n, d))
+    ybar = rng.standard_normal((p, n))
+    r = rng.integers(1, reps + 1, n).astype(np.float64)
+    ybar_mean = np.median(ybar, axis=1, keepdims=True)
+    ybar_std = np.median(np.abs(ybar - ybar_mean), axis=1, keepdims=True)
+    ybar_s = (ybar - ybar_mean) / ybar_std
+
+    y_used = ybar_s if use_std else ybar
+    scale = ybar_std[:, 0] if use_std else np.ones(p)
+    b = basis_mod.init_phi(y_used)
+    err = err or [1] * p
+    data = lik.RepData(xs=jnp.asarray(xu), ybar=jnp.asarray(y_used),
+                       scale=jnp.asarray(scale), r=jnp.asarray(r),
+                       phi=jnp.asarray(b.phi), diag_D=jnp.asarray(b.diag_D),
+                       sigma_map=jnp.asarray(P.sigma_index_map(err)))
+    lLmb = rng.uniform(0.3, 2.0, (b.q, d))
+    lLmb0 = rng.uniform(0.5, 2.0, b.q)
+    lsig = rng.uniform(-3, -1, len(err))
+    lnug = rng.uniform(1e-5, 1e-3, b.q)
+    free = P.unconstrain(jnp.asarray(lLmb), jnp.asarray(lLmb0),
+                         jnp.asarray(lsig), jnp.asarray(lnug))
+    return (data, free, (lLmb, lLmb0, lsig, lnug), b, xu, y_used, scale, r,
+            ybar_mean, ybar_std, err)
+
+
+class TestFullLoss:
+    @pytest.mark.parametrize('seed,n,d,p,q,err', [
+        (0, 30, 2, 4, None, None),
+        (1, 25, 1, 3, 2, None),
+        (2, 40, 3, 5, 3, [2, 2, 1]),
+        (3, 17, 5, 2, None, [1, 1]),
+    ])
+    def test_matches_oracle(self, seed, n, d, p, q, err):
+        data, free, (lLmb, lLmb0, lsig, lnug), b, xs, ys, err = _full_setup(
+            seed, n, d, p, q, err)
+        ours = float(lik.neglpost_full(free, data))
+        ref = oracle.neglpost_full_np(lLmb, lLmb0, lsig, lnug, xs, ys,
+                                      b.phi, b.diag_D, err)
+        np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+    def test_grad_matches_finite_difference(self):
+        data, free, *_ = _full_setup(5, 20, 2, 3)
+        from jax.flatten_util import ravel_pytree
+        flat, unravel = ravel_pytree(free)
+        f = lambda z: lik.neglpost_full(unravel(z), data)
+        g = jax.grad(f)(flat)
+        eps = 1e-6
+        for i in range(0, flat.shape[0], 3):
+            e = jnp.zeros_like(flat).at[i].set(eps)
+            fd = (f(flat + e) - f(flat - e)) / (2 * eps)
+            np.testing.assert_allclose(float(g[i]), float(fd), rtol=2e-4,
+                                       atol=1e-7)
+
+
+class TestRepLoss:
+    @pytest.mark.parametrize('seed,use_std,err', [
+        (0, True, None),
+        (1, False, None),
+        (2, True, [2, 1]),
+    ])
+    def test_matches_oracle(self, seed, use_std, err):
+        (data, free, (lLmb, lLmb0, lsig, lnug), b, xu, y_used, scale, r,
+         _, _, err) = _rep_setup(seed, use_std=use_std, err=err)
+        ours = float(lik.neglpost_rep(free, data))
+        ref = oracle.neglpost_rep_np(lLmb, lLmb0, lsig, lnug, xu, y_used,
+                                     scale, r, b.phi, b.diag_D, err)
+        np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+    def test_grad_finite(self):
+        data, free, *_ = _rep_setup(3)
+        g = jax.grad(lambda fr: lik.neglpost_rep(fr, data))(free)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+    def test_jit_stability_across_calls(self):
+        data, free, *_ = _rep_setup(4)
+        v1 = float(lik.neglpost_rep(free, data))
+        v2 = float(lik.neglpost_rep(free, data))
+        assert v1 == v2

@@ -1,0 +1,86 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lcgp_tpu.models import basis as basis_mod
+from lcgp_tpu.models import likelihood as lik
+from lcgp_tpu.models import params as P
+from lcgp_tpu import parallel
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason='needs 8 virtual devices')
+
+
+def _full_problem(q=4, p=8, n=24, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = rng.uniform(0, 1, (n, d))
+    ys = rng.standard_normal((p, n))
+    ys = (ys - ys.mean(1, keepdims=True)) / ys.std(1, keepdims=True)
+    b = basis_mod.init_phi(ys, q=q)
+    data = lik.FullData(xs=jnp.asarray(xs), ys=jnp.asarray(ys),
+                        phi=jnp.asarray(b.phi), diag_D=jnp.asarray(b.diag_D),
+                        sigma_map=jnp.asarray(P.sigma_index_map([1] * p)))
+    free = P.init_values(xs, ys, b.q, [1] * p)
+    return data, free
+
+
+class TestShardedLoss:
+    def test_matches_single_device(self):
+        data, free = _full_problem()
+        expected = float(lik.neglpost_full(free, data))
+        mesh = parallel.make_mesh(n_comp=4, n_out=2)
+        vg = parallel.make_sharded_value_and_grad(mesh, data)
+        v, g = vg(parallel.place(free, parallel.param_shardings(mesh)),
+                  parallel.place(data, parallel.data_shardings(mesh, data)))
+        np.testing.assert_allclose(float(v), expected, rtol=1e-10)
+        # gradients match too
+        g_ref = jax.grad(lambda fr: lik.neglpost_full(fr, data))(free)
+        for a, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-8, atol=1e-10)
+
+    def test_comp_only_mesh(self):
+        data, free = _full_problem(q=8, p=8)
+        mesh = parallel.make_mesh(n_comp=8, n_out=1)
+        vg = parallel.make_sharded_value_and_grad(mesh, data)
+        v, _ = vg(parallel.place(free, parallel.param_shardings(mesh)),
+                  parallel.place(data, parallel.data_shardings(mesh, data)))
+        np.testing.assert_allclose(float(v),
+                                   float(lik.neglpost_full(free, data)),
+                                   rtol=1e-10)
+
+    def test_fit_sharded_decreases_loss(self):
+        data, free = _full_problem()
+        mesh = parallel.make_mesh(n_comp=4, n_out=2)
+        l0 = float(lik.neglpost_full(free, data))
+        free1, _ = parallel.fit_sharded(data, free, mesh, steps=30,
+                                        learning_rate=3e-2)
+        free1 = jax.device_get(free1)
+        l1 = float(lik.neglpost_full(P.FreeParams(*map(jnp.asarray, free1)),
+                                     data))
+        assert l1 < l0
+
+    def test_rep_sharded(self):
+        rng = np.random.default_rng(1)
+        q, p, n = 4, 8, 16
+        xu = rng.uniform(0, 1, (n, 2))
+        ybar = rng.standard_normal((p, n))
+        b = basis_mod.init_phi(ybar, q=q)
+        data = lik.RepData(xs=jnp.asarray(xu), ybar=jnp.asarray(ybar),
+                           scale=jnp.ones(p), r=jnp.asarray(
+                               rng.integers(1, 4, n).astype(np.float64)),
+                           phi=jnp.asarray(b.phi),
+                           diag_D=jnp.asarray(b.diag_D),
+                           sigma_map=jnp.asarray(P.sigma_index_map([1] * p)))
+        free = P.init_values(xu, ybar, q, [1] * p)
+        expected = float(lik.neglpost_rep(free, data))
+        mesh = parallel.make_mesh(n_comp=4, n_out=2)
+        vg = parallel.make_sharded_value_and_grad(mesh, data)
+        v, _ = vg(parallel.place(free, parallel.param_shardings(mesh)),
+                  parallel.place(data, parallel.data_shardings(mesh, data)))
+        np.testing.assert_allclose(float(v), expected, rtol=1e-10)
