@@ -48,6 +48,7 @@ def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
 
     if _pallas_applicable(jnp.asarray(x1), jnp.asarray(x2), dt):
         from .matern_pallas import matern32_gram_pallas
+        # `same` positional: custom_vjp nondiff argument
         return matern32_gram_pallas(x1, x2, lengthscales, amplitudes, nuggets,
-                                    same=same)
+                                    same)
     return matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, same=same)
