@@ -1,0 +1,139 @@
+"""Run the five BASELINE.json benchmark configs end-to-end and report
+fit time + accuracy/UQ metrics as JSON lines.
+
+  1. 1-D replication illustration (n~100 obs)
+  2. 1-D 3-output skewed replication, heteroskedastic noise (Case 2)
+  3. Borehole-style emulator: n=1000, d=8, p=100, q=5
+  4. Large field: n=4096, p=1000, q=20, diagonal error
+  5. Replication-heavy: 10k sims with ~10x replicates + full predictive UQ
+
+Usage: python benchmarks/run_configs.py [--cpu] [--configs 1,2,3]
+       [--method scipy|adam|lbfgs-jax] [--precision high|fast]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _metrics(ytrue, ypred, ypredvar):
+    from lcgp_tpu import evaluation
+    cover, width = evaluation.intervalstats(ytrue, ypred, ypredvar)
+    return dict(
+        rmse=float(evaluation.rmse(ytrue, ypred)),
+        nrmse=float(evaluation.normalized_rmse(ytrue, ypred)),
+        coverage=float(cover), width=float(width),
+        dss=float(evaluation.dss(ytrue, ypred, ypredvar, use_diag=True)),
+    )
+
+
+def config1():
+    from lcgp_tpu import datasets
+    xtr, ytr, xte, ytrue = datasets.make_rep_data_1d(
+        n_unique=16, rep_choices=(1, 2, 3, 4, 5), seed=2025)
+    return dict(name='rep_1d_uniform', x=xtr, y=ytr, xte=xte, ytrue=ytrue,
+                kwargs=dict(submethod='rep', diag_error_structure=[1, 1, 1]))
+
+
+def config2():
+    from lcgp_tpu import datasets
+    xtr, ytr, xte, ytrue = datasets.make_rep_data_skewed(seed=42)
+    return dict(name='rep_1d_skewed', x=xtr, y=ytr, xte=xte, ytrue=ytrue,
+                kwargs=dict(submethod='rep', diag_error_structure=[1, 1, 1]))
+
+
+def config3():
+    from lcgp_tpu import datasets
+    x, y = datasets.make_borehole_field(n=1250, p=100, seed=0)
+    return dict(name='borehole_n1000_p100_q5', x=x[:1000], y=y[:, :1000],
+                xte=x[1000:], ytrue=y[:, 1000:],
+                kwargs=dict(q=5))
+
+
+def config4():
+    rng = np.random.default_rng(0)
+    n, p, d, q = 4096, 1000, 8, 20
+    x = rng.uniform(0, 1, (n + 256, d))
+    t = np.linspace(0, 1, p)[:, None]
+    y = (np.sin(2 * np.pi * (t + x[:, :1].T)) + np.cos(np.pi * t * x[:, 1:2].T)
+         + 0.05 * rng.standard_normal((p, n + 256)))
+    return dict(name='large_field_n4096_p1000_q20', x=x[:n], y=y[:, :n],
+                xte=x[n:], ytrue=y[:, n:], kwargs=dict(q=q))
+
+
+def config5():
+    from lcgp_tpu import datasets
+    rng = np.random.default_rng(7)
+    n_unique, reps = 1000, 10
+    xu = rng.uniform(0, 1, (n_unique, 4))
+    f = np.vstack([np.sin(2 * np.pi * xu[:, 0]) * xu[:, 1],
+                   np.cos(np.pi * xu[:, 2]) + xu[:, 3] ** 2,
+                   xu[:, 0] * xu[:, 2]])
+    noise = np.array([0.05, 0.1, 0.2])
+    x = np.repeat(xu, reps, axis=0)
+    y = (np.repeat(f, reps, axis=1)
+         + rng.standard_normal((3, n_unique * reps)) * noise[:, None])
+    xte = rng.uniform(0, 1, (400, 4))
+    fte = np.vstack([np.sin(2 * np.pi * xte[:, 0]) * xte[:, 1],
+                     np.cos(np.pi * xte[:, 2]) + xte[:, 3] ** 2,
+                     xte[:, 0] * xte[:, 2]])
+    return dict(name='rep_heavy_10k', x=x, y=y, xte=xte, ytrue=fte,
+                kwargs=dict(submethod='rep', diag_error_structure=[1, 1, 1]),
+                true_noise=noise)
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--cpu', action='store_true')
+    ap.add_argument('--configs', default='1,2,3,4,5')
+    ap.add_argument('--method', default='scipy')
+    ap.add_argument('--precision', default='high')
+    ap.add_argument('--maxiter', type=int, default=None)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    from lcgp_tpu import LCGP
+
+    for idx in [int(s) for s in args.configs.split(',')]:
+        cfg = CONFIGS[idx]()
+        t0 = time.time()
+        model = LCGP(y=cfg['y'], x=cfg['x'], precision=args.precision,
+                     **cfg['kwargs'])
+        build_s = time.time() - t0
+
+        fit_kwargs = {}
+        if args.maxiter and args.method == 'scipy':
+            fit_kwargs['maxiter'] = args.maxiter
+        t0 = time.time()
+        model.fit(method=args.method, **fit_kwargs)
+        fit_s = time.time() - t0
+
+        t0 = time.time()
+        ypred, ypredvar, yconfvar = map(np.asarray,
+                                        model.predict(cfg['xte']))
+        predict_s = time.time() - t0
+
+        rec = dict(config=cfg['name'], n=model.n, p=int(model.p),
+                   q=int(model.q), N_obs=cfg['x'].shape[0],
+                   build_s=round(build_s, 2), fit_s=round(fit_s, 2),
+                   predict_s=round(predict_s, 2),
+                   **{k: round(v, 5) for k, v in
+                      _metrics(cfg['ytrue'], ypred, ypredvar).items()})
+        if 'true_noise' in cfg:
+            rec['fitted_noise_std'] = [round(float(s), 4) for s in
+                                       np.sqrt(np.exp(np.asarray(model.lsigma2s)))]
+            rec['true_noise_std'] = list(cfg['true_noise'])
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -52,7 +52,8 @@ class LCGP:
                  submethod: str = 'full',
                  rep_standardize_ybar: bool = True,
                  verbose: bool = False,
-                 precision: str = 'high'):
+                 precision: str = 'high',
+                 q_chunk: Optional[int] = None):
         if y is None or x is None:
             raise ValueError('LCGP requires both y (p, n) and x (n, d).')
 
@@ -63,6 +64,9 @@ class LCGP:
         self.precision = precision
         self._compute_dtype = None if precision == 'high' else dtype_for(precision)
         self._jitter = jitter_for(precision)
+        # memory-bounded training: process latent components in chunks of
+        # q_chunk with rematerialization (None = one fused batch)
+        self.q_chunk = q_chunk
 
         self.x = self._verify_data_types(x)
         self.y = self._verify_data_types(y)
@@ -320,17 +324,17 @@ class LCGP:
     def neglpost(self):
         return lik.neglpost_full(self._free, self._data,
                                  compute_dtype=self._compute_dtype,
-                                 jitter=self._jitter)
+                                 jitter=self._jitter, q_chunk=self.q_chunk)
 
     def neglpost_rep(self):
         return lik.neglpost_rep(self._free, self._data,
                                 compute_dtype=self._compute_dtype,
-                                jitter=self._jitter)
+                                jitter=self._jitter, q_chunk=self.q_chunk)
 
     def _loss_fn(self):
         return lik.make_loss(self.submethod, self._data,
                              compute_dtype=self._compute_dtype,
-                             jitter=self._jitter)
+                             jitter=self._jitter, q_chunk=self.q_chunk)
 
     def fit(self, verbose: bool = False, method: str = 'scipy', **kwargs):
         """Optimize hyperparameters.

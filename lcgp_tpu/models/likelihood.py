@@ -54,9 +54,31 @@ def _bmv(mats, vecs):
     return jnp.einsum('qnm,qm->qn', mats, vecs)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+def _map_components(body, stacks, q_chunk):
+    """Apply ``body`` over the q leading axis in memory-bounded chunks.
+
+    q_chunk=None runs one fused batch (fastest when the (q,n,n) stacks fit
+    in HBM).  Otherwise the stacks are reshaped to (q/q_chunk, q_chunk, ...)
+    and body is lax.map'ed with rematerialization — backward recomputes each
+    chunk's Gram/Cholesky instead of keeping all q of them resident, so peak
+    memory scales with q_chunk at ~2x factorization FLOPs.
+    """
+    if q_chunk is None:
+        return body(stacks)
+    q = jax.tree_util.tree_leaves(stacks)[0].shape[0]
+    if q % q_chunk:
+        raise ValueError(f'q_chunk={q_chunk} must divide q={q}')
+    chunked = jax.tree_util.tree_map(
+        lambda x: x.reshape((q // q_chunk, q_chunk) + x.shape[1:]), stacks)
+    out = jax.lax.map(jax.checkpoint(body), chunked)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((q,) + x.shape[2:]), out)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "q_chunk"))
 def neglpost_full(free: P.FreeParams, data: FullData,
-                  compute_dtype=None, jitter: float = 0.0):
+                  compute_dtype=None, jitter: float = 0.0,
+                  q_chunk: int | None = None):
     """Full-data integrated negative log marginal posterior (lcgp.py:635-666).
 
     Per component k (C_k the Matérn Gram, D_k = diag_D[k], a_k = Y^T psi_ck):
@@ -74,25 +96,30 @@ def neglpost_full(free: P.FreeParams, data: FullData,
     psi_c = data.phi / jnp.sqrt(sigma)[:, None]            # (p, q)
     a = (data.ys.T @ psi_c).T                              # (q, n)
 
-    C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
-                   compute_dtype=compute_dtype)            # (q, n, n)
-    B = linalg.add_diag(data.diag_D[:, None, None] * C, 1.0 + jitter)
-    LB = linalg.cholesky(B)
+    def body(stacks):
+        lLmb_c, lLmb0_c, lnug_c, D_c, a_c = stacks
+        C = gram_stack(data.xs, data.xs, lLmb_c, lLmb0_c, lnug_c, same=True,
+                       compute_dtype=compute_dtype)        # (qc, n, n)
+        B = linalg.add_diag(D_c[:, None, None].astype(C.dtype) * C,
+                            1.0 + jitter)
+        LB = linalg.cholesky(B)
+        Ca = _bmv(C, a_c.astype(C.dtype))
+        w = linalg.cho_solve_vec(LB, a_c.astype(LB.dtype))
+        quad = jnp.sum(Ca.astype(LB.dtype) * w, axis=-1)
+        return 0.5 * linalg.chol_logdet(LB) - 0.5 * quad   # (qc,)
 
-    Ca = _bmv(C, a)
-    w = linalg.cho_solve_vec(LB, a.astype(LB.dtype))
-    quad = jnp.sum(Ca.astype(LB.dtype) * w, axis=-1)
-
-    nlp = jnp.sum(0.5 * linalg.chol_logdet(LB) - 0.5 * quad)
-    nlp = nlp.astype(data.ys.dtype)
+    terms = _map_components(body, (lLmb, lLmb0, lnug, data.diag_D, a),
+                            q_chunk)
+    nlp = jnp.sum(terms).astype(data.ys.dtype)
     nlp += 0.5 * n * jnp.sum(lsig)
     nlp += 0.5 * jnp.sum(jnp.square(data.ys / jnp.sqrt(sigma)[:, None]))
     return nlp
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "q_chunk"))
 def neglpost_rep(free: P.FreeParams, data: RepData,
-                 compute_dtype=None, jitter: float = 0.0):
+                 compute_dtype=None, jitter: float = 0.0,
+                 q_chunk: int | None = None):
     """Replication negative log marginal on unique points (lcgp.py:554-630).
 
     Woodbury on A_k = I + d_k sqrt(r) C_k sqrt(r):
@@ -119,31 +146,36 @@ def neglpost_rep(free: P.FreeParams, data: RepData,
     v = data.phi * sigma_inv_sqrt[:, None]                 # (p, q)
     b = r[None, :] * (data.ybar.T @ v).T                   # (q, n)
 
-    C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
-                   compute_dtype=compute_dtype)            # (q, n, n)
-    D = data.diag_D
-    sd = jnp.sqrt(D).astype(C.dtype)
+    def body(stacks):
+        lLmb_c, lLmb0_c, lnug_c, D_c, b_c = stacks
+        C = gram_stack(data.xs, data.xs, lLmb_c, lLmb0_c, lnug_c, same=True,
+                       compute_dtype=compute_dtype)        # (qc, n, n)
+        D = D_c.astype(C.dtype)
+        sd = jnp.sqrt(D)
+        srr = sr.astype(C.dtype)
+        Cb = _bmv(C, b_c.astype(C.dtype))
+        A = linalg.add_diag(
+            D[:, None, None] * (C * srr[None, None, :] * srr[None, :, None]),
+            1.0 + jitter)
+        LA = linalg.cholesky(A)
+        z = linalg.cho_solve_vec(LA, sd[:, None] * srr[None, :] * Cb)
+        Sb = Cb - _bmv(C, sd[:, None] * srr[None, :] * z)
+        return (-0.5 * jnp.sum(b_c.astype(C.dtype) * Sb, axis=-1)
+                + 0.5 * linalg.chol_logdet(LA))            # (qc,)
 
-    Cb = _bmv(C, b.astype(C.dtype))
-    A = linalg.add_diag(
-        D[:, None, None].astype(C.dtype) * (C * sr[None, None, :] * sr[None, :, None]),
-        1.0 + jitter)
-    LA = linalg.cholesky(A)
-    u = sd[:, None] * sr[None, :] * Cb
-    z = linalg.cho_solve_vec(LA, u)
-    Sb = Cb - _bmv(C, sd[:, None] * sr[None, :] * z)
-
-    nlp += jnp.sum(-0.5 * jnp.sum(b.astype(C.dtype) * Sb, axis=-1)
-                   + 0.5 * linalg.chol_logdet(LA)).astype(nlp.dtype)
+    terms = _map_components(body, (lLmb, lLmb0, lnug, data.diag_D, b),
+                            q_chunk)
+    nlp += jnp.sum(terms).astype(nlp.dtype)
     return nlp / n
 
 
-def make_loss(submethod: str, data, compute_dtype=None, jitter: float = 0.0):
+def make_loss(submethod: str, data, compute_dtype=None, jitter: float = 0.0,
+              q_chunk: int | None = None):
     """Return loss(free_params) for the given submethod with data closed over."""
     if submethod == 'full':
         return lambda free: neglpost_full(free, data, compute_dtype=compute_dtype,
-                                          jitter=jitter)
+                                          jitter=jitter, q_chunk=q_chunk)
     if submethod == 'rep':
         return lambda free: neglpost_rep(free, data, compute_dtype=compute_dtype,
-                                         jitter=jitter)
+                                         jitter=jitter, q_chunk=q_chunk)
     raise ValueError("Invalid submethod. Choices are 'full' or 'rep'.")

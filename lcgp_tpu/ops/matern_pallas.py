@@ -46,8 +46,13 @@ def _round_up(x, m):
 
 
 def _smem_full(shape):
-    """Whole-array SMEM block (constant index map)."""
-    return pl.BlockSpec(shape, lambda k, i, j: tuple(0 for _ in shape),
+    """Whole-array SMEM block.
+
+    The index map derives its zeros from a program id (k*0) instead of
+    Python-int constants: under jax_enable_x64, constant index maps trace to
+    i64 and Mosaic fails to legalize them (observed on the v5e toolchain);
+    program-id arithmetic stays i32."""
+    return pl.BlockSpec(shape, lambda k, i, j: tuple(k * 0 for _ in shape),
                         memory_space=pltpu.SMEM)
 
 
@@ -79,7 +84,7 @@ def _fwd_kernel(invl_ref, amp_ref, nug_ref, x1_ref, x2_ref, out_ref, *,
 
 def _bwd_kernel(invl_ref, amp_ref, nug_ref, x1_ref, x2_ref, gbar_ref,
                 glens_ref, gamp_ref, gnug_ref, *,
-                d: int, same: bool, ti: int, tj: int):
+                d: int, nq: int, same: bool, ti: int, tj: int):
     k = pl.program_id(0)
     i = pl.program_id(1)
     jj = pl.program_id(2)
@@ -88,9 +93,12 @@ def _bwd_kernel(invl_ref, amp_ref, nug_ref, x1_ref, x2_ref, gbar_ref,
 
     @pl.when(first)
     def _():
-        glens_ref[:] = jnp.zeros_like(glens_ref)
-        gamp_ref[:] = jnp.zeros_like(gamp_ref)
-        gnug_ref[:] = jnp.zeros_like(gnug_ref)
+        # SMEM accepts only scalar stores; q and d are small and static
+        for kk in range(nq):
+            for j in range(d):
+                glens_ref[kk, j] = 0.0
+            gamp_ref[kk, 0] = 0.0
+            gnug_ref[kk, 0] = 0.0
 
     # pass 1: rebuild C0 for this tile
     prod = jnp.ones((ti, tj), jnp.float32)
@@ -160,9 +168,9 @@ def _fwd_call(x1, x2, lengthscales, amplitudes, nuggets, same: bool):
             _smem_full((q, d)),
             _smem_full((q, 1)),
             _smem_full((q, 1)),
-            pl.BlockSpec((d, ti), lambda k, i, j: (0, i),
+            pl.BlockSpec((d, ti), lambda k, i, j: (k * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, tj), lambda k, i, j: (0, j),
+            pl.BlockSpec((d, tj), lambda k, i, j: (k * 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, ti, tj), lambda k, i, j: (k, i, j),
@@ -192,15 +200,15 @@ def _bwd_call(x1, x2, lengthscales, amplitudes, nuggets, same: bool, gbar):
 
     grid = (q, n1p // ti, n2p // tj)
     glens, gamp, gnug = pl.pallas_call(
-        functools.partial(_bwd_kernel, d=d, same=same, ti=ti, tj=tj),
+        functools.partial(_bwd_kernel, d=d, nq=q, same=same, ti=ti, tj=tj),
         grid=grid,
         in_specs=[
             _smem_full((q, d)),
             _smem_full((q, 1)),
             _smem_full((q, 1)),
-            pl.BlockSpec((d, ti), lambda k, i, j: (0, i),
+            pl.BlockSpec((d, ti), lambda k, i, j: (k * 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, tj), lambda k, i, j: (0, j),
+            pl.BlockSpec((d, tj), lambda k, i, j: (k * 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ti, tj), lambda k, i, j: (k, i, j),
                          memory_space=pltpu.VMEM),

@@ -1,0 +1,3 @@
+from .profiling import timed, trace, log_compiles
+
+__all__ = ["timed", "trace", "log_compiles"]

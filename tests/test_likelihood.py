@@ -113,3 +113,36 @@ class TestRepLoss:
         v1 = float(lik.neglpost_rep(free, data))
         v2 = float(lik.neglpost_rep(free, data))
         assert v1 == v2
+
+
+class TestQChunk:
+    """q_chunk (memory-bounded lax.map + remat) must not change values or
+    gradients."""
+
+    def test_full_chunked_matches(self):
+        data, free, *_ = _full_setup(0, 30, 2, 4)  # q = 4
+        ref = float(lik.neglpost_full(free, data))
+        for qc in (1, 2, 4):
+            np.testing.assert_allclose(
+                float(lik.neglpost_full(free, data, q_chunk=qc)), ref,
+                rtol=1e-12)
+        g_ref = jax.grad(lambda fr: lik.neglpost_full(fr, data))(free)
+        g_chk = jax.grad(lambda fr: lik.neglpost_full(fr, data, q_chunk=2))(free)
+        for a, b in zip(jax.tree_util.tree_leaves(g_chk),
+                        jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_rep_chunked_matches(self):
+        data, free, *_ = _rep_setup(0, p=3)  # q = 3
+        ref = float(lik.neglpost_rep(free, data))
+        np.testing.assert_allclose(
+            float(lik.neglpost_rep(free, data, q_chunk=1)), ref, rtol=1e-12)
+        np.testing.assert_allclose(
+            float(lik.neglpost_rep(free, data, q_chunk=3)), ref, rtol=1e-12)
+
+    def test_invalid_chunk_raises(self):
+        data, free, *_ = _full_setup(0, 20, 2, 4)
+        import pytest
+        with pytest.raises(ValueError):
+            lik.neglpost_full(free, data, q_chunk=3)
