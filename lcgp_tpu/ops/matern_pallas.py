@@ -7,10 +7,13 @@ XLA materializes the two (q,n,n) accumulators in HBM on every d-step
 registers per (TI,TJ) tile and writes the finished tile exactly once —
 HBM traffic drops from O(d·q·n²) to O(q·n²).
 
-Layout: x is passed transposed (d, n) so the lane (128-wide) axis is n and
-the tiny d axis sits on sublanes.  Grid is (q, n1/TI, n2/TJ); per-component
-lengthscales/amplitude/nugget live whole in SMEM and are indexed by
-``pl.program_id(0)``.
+Layout: x1 rides in naturally as (n1, d) — its per-dimension column
+x1[:, j] is a *sublane* vector, broadcasting cheaply as the row axis of the
+tile — while x2 is passed transposed (d, n2) so x2[j, :] is a *lane* vector
+for the column axis.  The (TI,1)·(1,TJ) outer |difference| then maps
+directly onto the VPU with no in-kernel transposes.  Grid is
+(q, n1/TI, n2/TJ); per-component lengthscales/amplitude/nugget live whole
+in SMEM, indexed by ``pl.program_id(0)``.
 
 The backward pass (cotangents for lengthscales, amplitude, nugget — x is
 data, no gradient) is its own kernel using grid-revisit accumulation: the
@@ -63,8 +66,8 @@ def _fwd_kernel(invl_ref, amp_ref, nug_ref, x1_ref, x2_ref, out_ref, *,
     ssum = jnp.zeros((ti, tj), jnp.float32)
     for j in range(d):
         il = invl_ref[k, j]
-        a = x1_ref[j, :] * il
-        b = x2_ref[j, :] * il
+        a = x1_ref[:, j] * il        # (ti,) sublane vector
+        b = x2_ref[j, :] * il        # (tj,) lane vector
         s = jnp.abs(a[:, None] - b[None, :])
         prod = prod * (1.0 + s)
         ssum = ssum + s
@@ -105,8 +108,8 @@ def _bwd_kernel(invl_ref, amp_ref, nug_ref, x1_ref, x2_ref, gbar_ref,
     ssum = jnp.zeros((ti, tj), jnp.float32)
     for j in range(d):
         il = invl_ref[k, j]
-        a = x1_ref[j, :] * il
-        b = x2_ref[j, :] * il
+        a = x1_ref[:, j] * il        # (ti,) sublane vector
+        b = x2_ref[j, :] * il        # (tj,) lane vector
         s = jnp.abs(a[:, None] - b[None, :])
         prod = prod * (1.0 + s)
         ssum = ssum + s
@@ -138,7 +141,7 @@ def _bwd_kernel(invl_ref, amp_ref, nug_ref, x1_ref, x2_ref, gbar_ref,
     w = g * (amp * (1.0 - eta) * c0)
     for j in range(d):
         il = invl_ref[k, j]
-        a = x1_ref[j, :] * il
+        a = x1_ref[:, j] * il
         b = x2_ref[j, :] * il
         s = jnp.abs(a[:, None] - b[None, :])
         glens_ref[k, j] += jnp.sum(w * s * s / (1.0 + s)) * il
@@ -149,13 +152,18 @@ def _pad_cols(xt, tile):
     return jnp.pad(xt, ((0, 0), (0, _round_up(n, tile) - n)))
 
 
+def _pad_rows(x, tile):
+    n, d = x.shape
+    return jnp.pad(x, ((0, _round_up(n, tile) - n), (0, 0)))
+
+
 def _fwd_call(x1, x2, lengthscales, amplitudes, nuggets, same: bool):
     q, d = lengthscales.shape
     n1, n2 = x1.shape[0], x2.shape[0]
     ti = tj = TILE
-    x1t = _pad_cols(x1.T.astype(jnp.float32), ti)
+    x1p = _pad_rows(x1.astype(jnp.float32), ti)
     x2t = _pad_cols(x2.T.astype(jnp.float32), tj)
-    n1p, n2p = x1t.shape[1], x2t.shape[1]
+    n1p, n2p = x1p.shape[0], x2t.shape[1]
     invl = (1.0 / lengthscales).astype(jnp.float32)
     amp = amplitudes.astype(jnp.float32)[:, None]
     nug = nuggets.astype(jnp.float32)[:, None]
@@ -168,7 +176,7 @@ def _fwd_call(x1, x2, lengthscales, amplitudes, nuggets, same: bool):
             _smem_full((q, d)),
             _smem_full((q, 1)),
             _smem_full((q, 1)),
-            pl.BlockSpec((d, ti), lambda k, i, j: (k * 0, i),
+            pl.BlockSpec((ti, d), lambda k, i, j: (i, k * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, tj), lambda k, i, j: (k * 0, j),
                          memory_space=pltpu.VMEM),
@@ -180,7 +188,7 @@ def _fwd_call(x1, x2, lengthscales, amplitudes, nuggets, same: bool):
             flops=6 * d * q * n1p * n2p, transcendentals=q * n1p * n2p,
             bytes_accessed=4 * (q * n1p * n2p + d * (n1p + n2p))),
         interpret=_interpret(),
-    )(invl, amp, nug, x1t, x2t)
+    )(invl, amp, nug, x1p, x2t)
     return out[:, :n1, :n2]
 
 
@@ -188,9 +196,9 @@ def _bwd_call(x1, x2, lengthscales, amplitudes, nuggets, same: bool, gbar):
     q, d = lengthscales.shape
     n1, n2 = x1.shape[0], x2.shape[0]
     ti = tj = TILE
-    x1t = _pad_cols(x1.T.astype(jnp.float32), ti)
+    x1p = _pad_rows(x1.astype(jnp.float32), ti)
     x2t = _pad_cols(x2.T.astype(jnp.float32), tj)
-    n1p, n2p = x1t.shape[1], x2t.shape[1]
+    n1p, n2p = x1p.shape[0], x2t.shape[1]
     # zero-pad cotangent so padded lanes contribute nothing
     gbar_p = jnp.pad(gbar.astype(jnp.float32),
                      ((0, 0), (0, n1p - n1), (0, n2p - n2)))
@@ -206,7 +214,7 @@ def _bwd_call(x1, x2, lengthscales, amplitudes, nuggets, same: bool, gbar):
             _smem_full((q, d)),
             _smem_full((q, 1)),
             _smem_full((q, 1)),
-            pl.BlockSpec((d, ti), lambda k, i, j: (k * 0, i),
+            pl.BlockSpec((ti, d), lambda k, i, j: (i, k * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, tj), lambda k, i, j: (k * 0, j),
                          memory_space=pltpu.VMEM),
@@ -226,7 +234,7 @@ def _bwd_call(x1, x2, lengthscales, amplitudes, nuggets, same: bool, gbar):
             jax.ShapeDtypeStruct((q, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(invl, amp, nug, x1t, x2t, gbar_p)
+    )(invl, amp, nug, x1p, x2t, gbar_p)
     return glens, gamp[:, 0], gnug[:, 0]
 
 
