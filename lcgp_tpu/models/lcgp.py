@@ -53,7 +53,8 @@ class LCGP:
                  rep_standardize_ybar: bool = True,
                  verbose: bool = False,
                  precision: str = 'high',
-                 q_chunk: Optional[int] = None):
+                 q_chunk: Optional[int] = None,
+                 kernel: str = 'matern32'):
         if y is None or x is None:
             raise ValueError('LCGP requires both y (p, n) and x (n, d).')
 
@@ -67,6 +68,9 @@ class LCGP:
         # memory-bounded training: process latent components in chunks of
         # q_chunk with rematerialization (None = one fused batch)
         self.q_chunk = q_chunk
+        if kernel not in ('matern32', 'rbf'):
+            raise ValueError("kernel must be 'matern32' or 'rbf'")
+        self.kernel = kernel
 
         self.x = self._verify_data_types(x)
         self.y = self._verify_data_types(y)
@@ -324,17 +328,20 @@ class LCGP:
     def neglpost(self):
         return lik.neglpost_full(self._free, self._data,
                                  compute_dtype=self._compute_dtype,
-                                 jitter=self._jitter, q_chunk=self.q_chunk)
+                                 jitter=self._jitter, q_chunk=self.q_chunk,
+                                 kernel=self.kernel)
 
     def neglpost_rep(self):
         return lik.neglpost_rep(self._free, self._data,
                                 compute_dtype=self._compute_dtype,
-                                jitter=self._jitter, q_chunk=self.q_chunk)
+                                jitter=self._jitter, q_chunk=self.q_chunk,
+                                kernel=self.kernel)
 
     def _loss_fn(self):
         return lik.make_loss(self.submethod, self._data,
                              compute_dtype=self._compute_dtype,
-                             jitter=self._jitter, q_chunk=self.q_chunk)
+                             jitter=self._jitter, q_chunk=self.q_chunk,
+                             kernel=self.kernel)
 
     def fit(self, verbose: bool = False, method: str = 'scipy', **kwargs):
         """Optimize hyperparameters.
@@ -367,11 +374,11 @@ class LCGP:
             if self.submethod == 'rep':
                 self._aux = pred.compute_aux_rep(
                     self._free, self._data, compute_dtype=self._compute_dtype,
-                    jitter=self._jitter)
+                    jitter=self._jitter, kernel=self.kernel)
             else:
                 self._aux = pred.compute_aux_full(
                     self._free, self._data, compute_dtype=self._compute_dtype,
-                    jitter=self._jitter)
+                    jitter=self._jitter, kernel=self.kernel)
             self._aux_version = self._params_version
         return self._aux
 
@@ -432,7 +439,8 @@ class LCGP:
         x0s = self._standardize_x0(x0)
         ghat, gvar = pred.predict_full_core(
             self._free, self._data, aux, x0s,
-            compute_dtype=self._compute_dtype, jitter=self._jitter)
+            compute_dtype=self._compute_dtype, jitter=self._jitter,
+            kernel=self.kernel)
         self.ghat, self.gvar = ghat, gvar
         ypred, ypredvar, yconfvar = pred.recombine_full(
             self._free, self._data, ghat, gvar, self.ymean, self.ystd)
@@ -447,7 +455,8 @@ class LCGP:
         x0s = self._standardize_x0(x0)
         ghat, gvar = pred.predict_rep_core(
             self._free, self._data, aux, x0s,
-            compute_dtype=self._compute_dtype, jitter=self._jitter)
+            compute_dtype=self._compute_dtype, jitter=self._jitter,
+            kernel=self.kernel)
         self.ghat, self.gvar = ghat, gvar
         if self.rep_standardize_ybar:
             mean, std = self.ybar_mean, self.ybar_std
@@ -471,7 +480,8 @@ class LCGP:
                    parameter_clamp_flag=self.parameter_clamp_flag,
                    robust_mean=self.robust_mean, submethod=self.submethod,
                    rep_standardize_ybar=self.rep_standardize_ybar,
-                   precision=self.precision)
+                   precision=self.precision, kernel=self.kernel,
+                   q_chunk=self.q_chunk)
         np.savez(path,
                  config=json.dumps(cfg),
                  x_orig=np.asarray(self.x_orig),
@@ -495,7 +505,9 @@ class LCGP:
                     parameter_clamp_flag=cfg['parameter_clamp_flag'],
                     robust_mean=cfg['robust_mean'], submethod=cfg['submethod'],
                     rep_standardize_ybar=cfg['rep_standardize_ybar'],
-                    precision=cfg.get('precision', 'high'))
+                    precision=cfg.get('precision', 'high'),
+                    kernel=cfg.get('kernel', 'matern32'),
+                    q_chunk=cfg.get('q_chunk'))
         model._free = P.FreeParams(jnp.asarray(z['free_lLmb']),
                                    jnp.asarray(z['free_lLmb0']),
                                    jnp.asarray(z['free_lsigma2s']),

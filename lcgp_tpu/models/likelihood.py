@@ -75,10 +75,10 @@ def _map_components(body, stacks, q_chunk):
         lambda x: x.reshape((q,) + x.shape[2:]), out)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "q_chunk"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "q_chunk", "kernel"))
 def neglpost_full(free: P.FreeParams, data: FullData,
                   compute_dtype=None, jitter: float = 0.0,
-                  q_chunk: int | None = None):
+                  q_chunk: int | None = None, kernel: str = "matern32"):
     """Full-data integrated negative log marginal posterior (lcgp.py:635-666).
 
     Per component k (C_k the Matérn Gram, D_k = diag_D[k], a_k = Y^T psi_ck):
@@ -99,7 +99,7 @@ def neglpost_full(free: P.FreeParams, data: FullData,
     def body(stacks):
         lLmb_c, lLmb0_c, lnug_c, D_c, a_c = stacks
         C = gram_stack(data.xs, data.xs, lLmb_c, lLmb0_c, lnug_c, same=True,
-                       compute_dtype=compute_dtype)        # (qc, n, n)
+                       compute_dtype=compute_dtype, kind=kernel)  # (qc, n, n)
         B = linalg.add_diag(D_c[:, None, None].astype(C.dtype) * C,
                             1.0 + jitter)
         LB = linalg.cholesky(B)
@@ -116,10 +116,10 @@ def neglpost_full(free: P.FreeParams, data: FullData,
     return nlp
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "q_chunk"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "q_chunk", "kernel"))
 def neglpost_rep(free: P.FreeParams, data: RepData,
                  compute_dtype=None, jitter: float = 0.0,
-                 q_chunk: int | None = None):
+                 q_chunk: int | None = None, kernel: str = "matern32"):
     """Replication negative log marginal on unique points (lcgp.py:554-630).
 
     Woodbury on A_k = I + d_k sqrt(r) C_k sqrt(r):
@@ -149,7 +149,7 @@ def neglpost_rep(free: P.FreeParams, data: RepData,
     def body(stacks):
         lLmb_c, lLmb0_c, lnug_c, D_c, b_c = stacks
         C = gram_stack(data.xs, data.xs, lLmb_c, lLmb0_c, lnug_c, same=True,
-                       compute_dtype=compute_dtype)        # (qc, n, n)
+                       compute_dtype=compute_dtype, kind=kernel)  # (qc, n, n)
         D = D_c.astype(C.dtype)
         sd = jnp.sqrt(D)
         srr = sr.astype(C.dtype)
@@ -170,12 +170,14 @@ def neglpost_rep(free: P.FreeParams, data: RepData,
 
 
 def make_loss(submethod: str, data, compute_dtype=None, jitter: float = 0.0,
-              q_chunk: int | None = None):
+              q_chunk: int | None = None, kernel: str = 'matern32'):
     """Return loss(free_params) for the given submethod with data closed over."""
     if submethod == 'full':
         return lambda free: neglpost_full(free, data, compute_dtype=compute_dtype,
-                                          jitter=jitter, q_chunk=q_chunk)
+                                          jitter=jitter, q_chunk=q_chunk,
+                                          kernel=kernel)
     if submethod == 'rep':
         return lambda free: neglpost_rep(free, data, compute_dtype=compute_dtype,
-                                         jitter=jitter, q_chunk=q_chunk)
+                                         jitter=jitter, q_chunk=q_chunk,
+                                         kernel=kernel)
     raise ValueError("Invalid submethod. Choices are 'full' or 'rep'.")

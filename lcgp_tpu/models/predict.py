@@ -45,16 +45,17 @@ class RepAux(NamedTuple):
                          # q != p, lcgp.py:754 — fixed here)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel"))
 def compute_aux_full(free: P.FreeParams, data: FullData,
-                     compute_dtype=None, jitter: float = 0.0) -> FullAux:
+                     compute_dtype=None, jitter: float = 0.0,
+                     kernel: str = "matern32") -> FullAux:
     lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
     lsig = P.expand_sigma(lsig_g, data.sigma_map)
     sigma = jnp.exp(lsig)
 
     B = (data.ys.T / jnp.sqrt(sigma)[None, :]) @ data.phi      # (n, q)
     C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, kind=kernel)
     LB = linalg.cholesky(
         linalg.add_diag(data.diag_D[:, None, None].astype(C.dtype) * C,
                         1.0 + jitter))
@@ -62,15 +63,16 @@ def compute_aux_full(free: P.FreeParams, data: FullData,
     return FullAux(CinvM=CinvM, LB=LB)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel"))
 def predict_full_core(free: P.FreeParams, data: FullData, aux: FullAux, x0s,
-                      compute_dtype=None, jitter: float = 0.0):
+                      compute_dtype=None, jitter: float = 0.0,
+                      kernel: str = "matern32"):
     """Latent predictive mean/var at standardized x0s.  Returns (ghat, gvar),
     each (q, n0)."""
     lLmb, lLmb0, _, lnug = P.constrain(free)
     c00 = matern32_diag(x0s, lLmb0)                             # (q, n0)
     c0 = gram_stack(x0s, data.xs, lLmb, lLmb0, lnug, same=False,
-                    compute_dtype=compute_dtype)                # (q, n0, n)
+                    compute_dtype=compute_dtype, kind=kernel)   # (q, n0, n)
     ghat = _bmv(c0, aux.CinvM)
     M = linalg.solve_tri_lower(aux.LB, jnp.swapaxes(c0, -1, -2))  # (q, n, n0)
     gvar = c00.astype(M.dtype) - data.diag_D[:, None].astype(M.dtype) * \
@@ -111,9 +113,10 @@ def fullcov_full(free: P.FreeParams, data: FullData, gvar, ystd):
     return cov * (ystd_vec[:, None] * ystd_vec[None, :])[None, :, :]
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel"))
 def compute_aux_rep(free: P.FreeParams, data: RepData,
-                    compute_dtype=None, jitter: float = 0.0) -> RepAux:
+                    compute_dtype=None, jitter: float = 0.0,
+                    kernel: str = "matern32") -> RepAux:
     lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
     lsig = P.expand_sigma(lsig_g, data.sigma_map)
     sigma_raw = jnp.exp(lsig)
@@ -125,7 +128,7 @@ def compute_aux_rep(free: P.FreeParams, data: RepData,
     b = r[None, :] * (data.ybar.T @ v).T                        # (q, n)
 
     C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
-                   compute_dtype=compute_dtype)
+                   compute_dtype=compute_dtype, kind=kernel)
     D = data.diag_D.astype(C.dtype)
     sd = jnp.sqrt(D)
 
@@ -148,13 +151,14 @@ def compute_aux_rep(free: P.FreeParams, data: RepData,
     return RepAux(CinvM=CinvM, LT=LT, mks=m, psi_c=psi_c)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel"))
 def predict_rep_core(free: P.FreeParams, data: RepData, aux: RepAux, x0s,
-                     compute_dtype=None, jitter: float = 0.0):
+                     compute_dtype=None, jitter: float = 0.0,
+                     kernel: str = "matern32"):
     lLmb, lLmb0, _, lnug = P.constrain(free)
     c00 = matern32_diag(x0s, lLmb0)
     c0 = gram_stack(x0s, data.xs, lLmb, lLmb0, lnug, same=False,
-                    compute_dtype=compute_dtype)                # (q, n0, n)
+                    compute_dtype=compute_dtype, kind=kernel)   # (q, n0, n)
     ghat = _bmv(c0, aux.CinvM)
     M = linalg.solve_tri_lower(aux.LT, jnp.swapaxes(c0, -1, -2))
     gvar = c00.astype(M.dtype) - jnp.sum(jnp.square(M), axis=-2)

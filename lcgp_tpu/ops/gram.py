@@ -30,11 +30,12 @@ def _pallas_applicable(x1, x2, dtype) -> bool:
 
 
 def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
-               compute_dtype=None):
-    """Batched Matérn 3/2 Gram stack with optional compute-dtype override.
+               compute_dtype=None, kind: str = 'matern32'):
+    """Batched Gram stack with optional compute-dtype override.
 
-    compute_dtype=None keeps the input dtype (float64 parity path);
-    jnp.float32 selects the fast MXU/Pallas path.
+    kind='matern32' (the reference's kernel, default) or 'rbf' (separable
+    squared-exponential extra).  compute_dtype=None keeps the input dtype
+    (float64 parity path); jnp.float32 selects the fast MXU/Pallas path.
     """
     if compute_dtype is not None:
         dt = jnp.dtype(compute_dtype)
@@ -45,6 +46,13 @@ def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
         nuggets = jnp.asarray(nuggets, dtype=dt)
     else:
         dt = jnp.asarray(x1).dtype
+
+    if kind == 'rbf':
+        # SE factors through a batched MXU matmul; XLA is already optimal
+        from .rbf import rbf_gram
+        return rbf_gram(x1, x2, lengthscales, amplitudes, nuggets, same=same)
+    if kind != 'matern32':
+        raise ValueError(f"unknown kernel kind {kind!r}")
 
     if _pallas_applicable(jnp.asarray(x1), jnp.asarray(x2), dt):
         from .matern_pallas import matern32_gram_pallas

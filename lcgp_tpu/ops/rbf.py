@@ -1,0 +1,51 @@
+"""Squared-exponential (ARD RBF) kernel, batched over latent components.
+
+An *extra* beyond the reference (which ships only Matérn 3/2,
+covmat.py:5-55); the driver's north-star text names the separable
+squared-exponential, so it is provided as ``kernel='rbf'``.
+
+Nugget/amplitude semantics follow the reference's Matérn rules exactly
+(SURVEY §3.5.9): ``eta = lnug/(1+lnug)``; ``amp * ((1-eta) C0 + eta I)``
+when x1 ≡ x2, ``amp * (1-eta) C0`` for cross-covariances; prior variance
+(diag) is just ``amp``.
+
+TPU mapping: unlike the |u−v| product form, the SE exponent factors through
+a Gram matmul — ``‖u−v‖² = ‖u‖² + ‖v‖² − 2 u·v`` — so the hot op IS a
+(q,n,d)×(q,d,n) batched matmul on the MXU; XLA fuses the rank-1 corrections
+and the exp.  No Pallas needed to hit bandwidth here.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rbf_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
+    """Batched (q, n1, n2) SE Gram stack.
+
+    C0 = exp(-0.5 * sum_j ((x1_j - x2_j)/l_j)^2), per-component l (q,d).
+    """
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    lengthscales = jnp.atleast_2d(jnp.asarray(lengthscales))
+    amplitudes = jnp.atleast_1d(jnp.asarray(amplitudes))
+    nuggets = jnp.atleast_1d(jnp.asarray(nuggets))
+    dt = x1.dtype
+
+    inv_l = 1.0 / lengthscales                      # (q, d)
+    u1 = x1[None, :, :] * inv_l[:, None, :]         # (q, n1, d)
+    u2 = x2[None, :, :] * inv_l[:, None, :]         # (q, n2, d)
+
+    # squared distances via the MXU: |u|^2 + |v|^2 - 2 u v^T
+    sq1 = jnp.sum(u1 * u1, axis=-1)                 # (q, n1)
+    sq2 = jnp.sum(u2 * u2, axis=-1)                 # (q, n2)
+    cross = jnp.einsum('qnd,qmd->qnm', u1, u2)      # (q, n1, n2) — MXU
+    d2 = sq1[:, :, None] + sq2[:, None, :] - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)                       # clamp fp cancellation
+    c0 = jnp.exp(-0.5 * d2)
+
+    eta = nuggets / (1.0 + nuggets)
+    c = (1.0 - eta)[:, None, None] * c0
+    if same:
+        n1 = x1.shape[0]
+        c = c + eta[:, None, None] * jnp.eye(n1, dtype=dt)[None, :, :]
+    return amplitudes[:, None, None] * c
