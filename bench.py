@@ -47,34 +47,67 @@ def make_problem():
 
 
 def time_evals(vg, free, data):
-    import jax
+    # NOTE: on the axon backend block_until_ready does not reliably block;
+    # a host transfer of the scalar loss is the only trustworthy sync.
+    def run_synced():
+        v, g = vg(free, data)
+        return float(v), float(np.asarray(g.lLmb)[0, 0])
+
     for _ in range(WARMUP):
-        out = vg(free, data)
-    jax.block_until_ready(out)
+        run_synced()
     times = []
     for _ in range(EVALS):
         t0 = time.time()
-        out = vg(free, data)
-        jax.block_until_ready(out)
+        run_synced()
         times.append(time.time() - t0)
     return float(np.median(times))
 
 
+def _time_with_fallback(make_vg, free, data, chunks):
+    """Time a value_and_grad variant; on HBM exhaustion retry with smaller
+    q_chunk (identical math, remat).  At n=4096, q=20 the un-chunked
+    autodiff graph needs ~60GB HBM (measured), so chunking is mandatory —
+    start from a feasible chunk, keep None out of the list for this config.
+    """
+    import sys
+    import jax
+    last = None
+    for q_chunk in chunks:
+        try:
+            vg = make_vg(q_chunk)
+            return time_evals(vg, free, data), q_chunk
+        except Exception as e:  # noqa: BLE001
+            msg = str(e)
+            oom = ('RESOURCE_EXHAUSTED' in msg or 'memory' in msg.lower()
+                   or 'HTTP 500' in msg)
+            if not oom:
+                raise
+            print(f'[bench] q_chunk={q_chunk} OOM, retrying smaller',
+                  file=sys.stderr, flush=True)
+            last = e
+            jax.clear_caches()
+    raise RuntimeError(f'OOM at every q_chunk in {chunks}: {last}')
+
+
 def main():
     import jax
-    from functools import partial
     from lcgp_tpu.models import likelihood as lik
 
     data, free = make_problem()
 
-    vg64 = jax.jit(jax.value_and_grad(
-        lambda fr, d: lik.neglpost_full(fr, d)))
-    secs64 = time_evals(vg64, free, data)
+    import sys
+    print(f'[bench] data dtype: {data.ys.dtype}', file=sys.stderr, flush=True)
 
-    vg32 = jax.jit(jax.value_and_grad(
-        lambda fr, d: lik.neglpost_full(fr, d, compute_dtype=jax.numpy.float32,
-                                        jitter=1e-6)))
-    secs32 = time_evals(vg32, free, data)
+    secs64, chunk64 = _time_with_fallback(
+        lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
+            lambda f_: lik.neglpost_full(f_, d, q_chunk=qc))(fr)),
+        free, data, chunks=(2, 1))  # q_chunk=5 needs >15.75G HBM (measured)
+
+    secs32, chunk32 = _time_with_fallback(
+        lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
+            lambda f_: lik.neglpost_full(f_, d, compute_dtype=jax.numpy.float32,
+                                         jitter=1e-6, q_chunk=qc))(fr)),
+        free, data, chunks=(10, 5, 2))
 
     evals64 = 1.0 / secs64
     evals32 = 1.0 / secs32
@@ -101,6 +134,8 @@ def main():
         'evals_per_sec_f32': round(evals32, 4),
         'vs_baseline_f32': round(vs32, 2) if vs32 else None,
         'baseline_cpu_evals_per_sec': base_evals,
+        'q_chunk_f64': chunk64,
+        'q_chunk_f32': chunk32,
         'device': dev,
     }))
 

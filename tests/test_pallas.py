@@ -93,3 +93,41 @@ class TestBackward:
         gr = jax.grad(loss_jnp)(lens)
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                    rtol=3e-3, atol=1e-4)
+
+
+class TestQBlocking:
+    def test_q_larger_than_block(self):
+        """q > QBLOCK exercises the q-tiling + padding path."""
+        x1, _, _, _, _ = _inputs(n1=270, d=2, q=1)
+        rng = np.random.default_rng(5)
+        q = 10  # qb=8 -> padded to 16
+        lens = jnp.asarray(rng.uniform(.3, 2, (q, 2)), jnp.float32)
+        amps = jnp.asarray(rng.uniform(.5, 2, q), jnp.float32)
+        nugs = jnp.asarray(rng.uniform(1e-4, 1e-2, q), jnp.float32)
+        out = mp.matern32_gram_pallas(x1, x1, lens, amps, nugs, True)
+        ref = m.matern32_gram(x1, x1, lens, amps, nugs, same=True)
+        assert out.shape == (q, 270, 270)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_q_padding_backward(self):
+        x1, _, _, _, _ = _inputs(n1=260, d=2, q=1)
+        rng = np.random.default_rng(6)
+        q = 9
+        lens = jnp.asarray(rng.uniform(.3, 2, (q, 2)), jnp.float32)
+        amps = jnp.asarray(rng.uniform(.5, 2, q), jnp.float32)
+        nugs = jnp.asarray(rng.uniform(1e-4, 1e-2, q), jnp.float32)
+        gbar = jnp.asarray(rng.standard_normal((q, 260, 260)), jnp.float32)
+
+        def loss_pal(l):
+            return jnp.sum(mp.matern32_gram_pallas(x1, x1, l, amps, nugs,
+                                                   True) * gbar)
+
+        def loss_jnp(l):
+            return jnp.sum(m.matern32_gram(x1, x1, l, amps, nugs, same=True)
+                           * gbar)
+
+        gp = jax.grad(loss_pal)(lens)
+        gr = jax.grad(loss_jnp)(lens)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=3e-3, atol=1e-4)
