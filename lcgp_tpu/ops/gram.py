@@ -60,3 +60,27 @@ def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
         return matern32_gram_pallas(x1, x2, lengthscales, amplitudes, nuggets,
                                     same)
     return matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, same=same)
+
+
+def gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
+             cbar, kind: str = 'matern32'):
+    """Analytic (glens, gamp, gnug) for a Gram-stack cotangent ``cbar``.
+
+    Used by the custom-VJP loss paths; dispatches to the Pallas backward
+    kernel when the forward would have used Pallas, else the jnp analytic
+    form.  x carries no gradient (it is data).
+    """
+    if kind == 'rbf':
+        from .rbf import rbf_gram_vjp
+        return rbf_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets,
+                            same=same, cbar=cbar)
+    if kind != 'matern32':
+        raise ValueError(f"unknown kernel kind {kind!r}")
+    if _pallas_applicable(jnp.asarray(x1), jnp.asarray(x2),
+                          jnp.asarray(cbar).dtype):
+        from .matern_pallas import _bwd_call
+        return _bwd_call(x1, x2, lengthscales, amplitudes, nuggets, same,
+                         cbar)
+    from .matern import matern32_gram_vjp
+    return matern32_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets,
+                             same=same, cbar=cbar)

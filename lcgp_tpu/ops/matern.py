@@ -76,6 +76,65 @@ def matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
     return amplitudes[:, None, None] * c
 
 
+def matern32_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *,
+                      same: bool, cbar):
+    """Analytic, memory-light VJP of :func:`matern32_gram`.
+
+    Given the cotangent ``cbar`` (q,n1,n2) of the Gram stack, returns
+    (glens (q,d), gamp (q,), gnug (q,)) using one (q,n1,n2) temporary per
+    d-step instead of autodiff's per-step residual chain:
+
+        dC/dl_j   = amp (1-eta) C0 S_j^2 / ((1+S_j) l_j)
+        dC/damp   = (1-eta) C0 + eta I[same]
+        dC/dnug   = amp (I[same] - C0) / (1+nug)^2
+    """
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    lengthscales = jnp.atleast_2d(jnp.asarray(lengthscales))
+    amplitudes = jnp.atleast_1d(jnp.asarray(amplitudes))
+    nuggets = jnp.atleast_1d(jnp.asarray(nuggets))
+    d = x1.shape[1]
+    dt = cbar.dtype
+
+    inv_l = (1.0 / lengthscales).astype(dt)
+    u1 = x1.astype(dt)[None, :, :] * inv_l[:, None, :]
+    u2 = x2.astype(dt)[None, :, :] * inv_l[:, None, :]
+
+    q, n1 = u1.shape[0], u1.shape[1]
+    prod = jnp.ones((q, n1, u2.shape[1]), dtype=dt)
+    ssum = jnp.zeros_like(prod)
+    for j in range(d):
+        s = jnp.abs(u1[:, :, j][:, :, None] - u2[:, :, j][:, None, :])
+        prod = prod * (1.0 + s)
+        ssum = ssum + s
+    c0 = prod * jnp.exp(-ssum)
+
+    amp = amplitudes.astype(dt)
+    nug = nuggets.astype(dt)
+    eta = nug / (1.0 + nug)
+
+    gc0 = jnp.sum(cbar * c0, axis=(-2, -1))                    # (q,)
+    if same:
+        diag_cbar = jnp.trace(cbar, axis1=-2, axis2=-1)        # sum of diag
+        # diagonal of C0 is exactly 1 (S=0 there)
+        gamp = (1.0 - eta) * gc0 + eta * diag_cbar
+        geta = amp * (diag_cbar - gc0)
+    else:
+        gamp = (1.0 - eta) * gc0
+        geta = amp * (-gc0)
+    gnug = geta / jnp.square(1.0 + nug)
+
+    w = cbar * (amp * (1.0 - eta))[:, None, None] * c0
+    glens = []
+    for j in range(d):
+        s = jnp.abs(u1[:, :, j][:, :, None] - u2[:, :, j][:, None, :])
+        glens.append(jnp.sum(w * s * s / (1.0 + s), axis=(-2, -1))
+                     * inv_l[:, j])
+    glens = jnp.stack(glens, axis=-1)                          # (q, d)
+    return (glens.astype(lengthscales.dtype),
+            gamp.astype(amplitudes.dtype), gnug.astype(nuggets.dtype))
+
+
 def matern32_diag(x0, amplitudes, n_components: int | None = None):
     """Batched prior variance at x0: ``amp * 1`` per point (covmat.py:23-29).
 

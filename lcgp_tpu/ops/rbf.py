@@ -49,3 +49,50 @@ def rbf_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
         n1 = x1.shape[0]
         c = c + eta[:, None, None] * jnp.eye(n1, dtype=dt)[None, :, :]
     return amplitudes[:, None, None] * c
+
+
+def rbf_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
+                 cbar):
+    """Analytic VJP of :func:`rbf_gram` (see matern.matern32_gram_vjp).
+
+    dC0/dl_j = C0 * s2_j / l_j with s2_j = ((x1_j - x2_j)/l_j)^2.
+    """
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    lengthscales = jnp.atleast_2d(jnp.asarray(lengthscales))
+    amplitudes = jnp.atleast_1d(jnp.asarray(amplitudes))
+    nuggets = jnp.atleast_1d(jnp.asarray(nuggets))
+    d = x1.shape[1]
+    dt = cbar.dtype
+
+    inv_l = (1.0 / lengthscales).astype(dt)
+    u1 = x1.astype(dt)[None, :, :] * inv_l[:, None, :]
+    u2 = x2.astype(dt)[None, :, :] * inv_l[:, None, :]
+    sq1 = jnp.sum(u1 * u1, axis=-1)
+    sq2 = jnp.sum(u2 * u2, axis=-1)
+    d2 = jnp.maximum(sq1[:, :, None] + sq2[:, None, :]
+                     - 2.0 * jnp.einsum('qnd,qmd->qnm', u1, u2), 0.0)
+    c0 = jnp.exp(-0.5 * d2)
+
+    amp = amplitudes.astype(dt)
+    nug = nuggets.astype(dt)
+    eta = nug / (1.0 + nug)
+
+    gc0 = jnp.sum(cbar * c0, axis=(-2, -1))
+    if same:
+        diag_cbar = jnp.trace(cbar, axis1=-2, axis2=-1)
+        gamp = (1.0 - eta) * gc0 + eta * diag_cbar
+        geta = amp * (diag_cbar - gc0)
+    else:
+        gamp = (1.0 - eta) * gc0
+        geta = amp * (-gc0)
+    gnug = geta / jnp.square(1.0 + nug)
+
+    w = cbar * (amp * (1.0 - eta))[:, None, None] * c0
+    glens = []
+    for j in range(d):
+        s2 = jnp.square(u1[:, :, j][:, :, None] - u2[:, :, j][:, None, :])
+        glens.append(jnp.sum(w * s2, axis=(-2, -1)) * inv_l[:, j])
+    glens = jnp.stack(glens, axis=-1)
+    return (glens.astype(lengthscales.dtype),
+            gamp.astype(amplitudes.dtype), gnug.astype(nuggets.dtype))

@@ -146,3 +146,63 @@ class TestQChunk:
         import pytest
         with pytest.raises(ValueError):
             lik.neglpost_full(free, data, q_chunk=3)
+
+
+class TestCustomVJP:
+    """The hand-derived loss-term VJPs must match plain autodiff of the
+    same forward computation."""
+
+    @pytest.mark.parametrize('kernel', ['matern32', 'rbf'])
+    def test_full_terms(self, kernel):
+        data, free, *_ = _full_setup(11, 24, 2, 3)
+        lLmb, lLmb0, lsig, lnug = P.constrain(free)
+        a = (data.ys.T @ (data.phi /
+                          jnp.sqrt(jnp.exp(lsig))[:, None])).T
+
+        def f_custom(args):
+            l, l0, nu, aa = args
+            return jnp.sum(lik._full_terms(None, 0.0, kernel, data.xs,
+                                           l, l0, nu, data.diag_D, aa) ** 2)
+
+        def f_auto(args):
+            l, l0, nu, aa = args
+            t, _ = lik._full_terms_fwd_impl(None, 0.0, kernel, data.xs,
+                                            l, l0, nu, data.diag_D, aa)
+            return jnp.sum(t ** 2)
+
+        args = (lLmb, lLmb0, lnug, a)
+        np.testing.assert_allclose(float(f_custom(args)), float(f_auto(args)),
+                                   rtol=1e-12)
+        gc = jax.grad(f_custom)(args)
+        ga = jax.grad(f_auto)(args)
+        for c, aa in zip(gc, ga):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(aa),
+                                       rtol=1e-7, atol=1e-10)
+
+    @pytest.mark.parametrize('kernel', ['matern32', 'rbf'])
+    def test_rep_terms(self, kernel):
+        data, free, *_ = _rep_setup(12, n=15, p=3)
+        lLmb, lLmb0, lsig, lnug = P.constrain(free)
+        sis = data.scale / jnp.sqrt(jnp.exp(lsig))
+        b = data.r[None, :] * (data.ybar.T @ (data.phi * sis[:, None])).T
+        sr = jnp.sqrt(data.r)
+
+        def f_custom(args):
+            l, l0, nu, bb = args
+            return jnp.sum(lik._rep_terms(None, 0.0, kernel, data.xs, sr,
+                                          l, l0, nu, data.diag_D, bb) ** 2)
+
+        def f_auto(args):
+            l, l0, nu, bb = args
+            t, _ = lik._rep_terms_fwd_impl(None, 0.0, kernel, data.xs, sr,
+                                           l, l0, nu, data.diag_D, bb)
+            return jnp.sum(t ** 2)
+
+        args = (lLmb, lLmb0, lnug, b)
+        np.testing.assert_allclose(float(f_custom(args)), float(f_auto(args)),
+                                   rtol=1e-12)
+        gc = jax.grad(f_custom)(args)
+        ga = jax.grad(f_auto)(args)
+        for c, aa in zip(gc, ga):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(aa),
+                                       rtol=1e-7, atol=1e-10)
