@@ -12,13 +12,12 @@ plus batched Cholesky/solves — no Python-level q loop, no joblib.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops import linalg
-from ..ops.matern import matern32_gram
 from ..ops.gram import gram_stack, gram_vjp
 from . import params as P
 
