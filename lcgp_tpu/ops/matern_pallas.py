@@ -40,7 +40,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 256
-QBLOCK = 8
 
 
 def _interpret() -> bool:
@@ -163,10 +162,23 @@ def _bwd_kernel(invl_ref, amp_ref, nug_ref, x1_ref, x2_ref, gbar_ref,
             glens_ref[k, j] += jnp.sum(w * s * s / (1.0 + s)) * il
 
 
-def _prep(x1, x2, lengthscales, amplitudes, nuggets, ti, tj):
+def _pick_qb(q, d, ti, tj, extra_blocks=0):
+    """Largest q-block whose double-buffered output tiles + distance scratch
+    fit in VMEM (~13MB budget).  Taking all of q in one block removes both
+    the q-padding waste and per-step grid overhead."""
+    budget = 13 * 1024 * 1024
+    scratch = d * ti * tj * 4
+    for qb in range(q, 0, -1):
+        need = (2 + extra_blocks) * qb * ti * tj * 4 + scratch
+        if need <= budget:
+            return qb
+    return 1
+
+
+def _prep(x1, x2, lengthscales, amplitudes, nuggets, ti, tj, extra_blocks=0):
     """Pad inputs/params to tile/q-block multiples (benign values)."""
     q, d = lengthscales.shape
-    qb = min(QBLOCK, q)
+    qb = _pick_qb(q, d, ti, tj, extra_blocks)
     qp = _round_up(q, qb)
     x1p = jnp.pad(x1.astype(jnp.float32),
                   ((0, _round_up(x1.shape[0], ti) - x1.shape[0]), (0, 0)))
@@ -217,7 +229,8 @@ def _bwd_call(x1, x2, lengthscales, amplitudes, nuggets, same: bool, gbar):
     n1, n2 = x1.shape[0], x2.shape[0]
     ti = tj = TILE
     x1p, x2t, invl, amp, nug, q, d, qb, qp = _prep(
-        x1, x2, lengthscales, amplitudes, nuggets, ti, tj)
+        x1, x2, lengthscales, amplitudes, nuggets, ti, tj,
+        extra_blocks=2)  # gbar input blocks are also double-buffered
     n1p, n2p = x1p.shape[0], x2t.shape[1]
     # zero-pad cotangent so padded lanes/components contribute nothing
     gbar_p = jnp.pad(gbar.astype(jnp.float32),
