@@ -1,0 +1,69 @@
+"""Multi-chip sharded training demo.
+
+Runs the LCGP loss + on-device Adam over a ('comp','out') device mesh:
+latent components shard across 'comp', output dimensions across 'out'.
+On a single-chip (or CPU) machine, emulate a mesh with
+    XLA_FLAGS=--xla_force_host_platform_device_count=8  and  --cpu.
+
+Usage: python examples/multichip_sharded.py [--cpu] [--n-comp 4] [--n-out 2]
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--cpu', action='store_true')
+    ap.add_argument('--n-comp', type=int, default=4)
+    ap.add_argument('--n-out', type=int, default=2)
+    ap.add_argument('--steps', type=int, default=100)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+        flags = os.environ.get('XLA_FLAGS', '')
+        if 'host_platform_device_count' not in flags:
+            os.environ['XLA_FLAGS'] = (
+                flags + ' --xla_force_host_platform_device_count='
+                + str(args.n_comp * args.n_out)).strip()
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    import jax
+    from lcgp_tpu import LCGP, parallel
+    from lcgp_tpu.models import likelihood as lik
+
+    print(f'devices: {len(jax.devices())}')
+    mesh = parallel.make_mesh(n_comp=args.n_comp, n_out=args.n_out)
+    print(f'mesh: {mesh}')
+
+    rng = np.random.default_rng(0)
+    q = args.n_comp * 2
+    p = max(args.n_out * 8, q)
+    x = rng.uniform(0, 1, (256, 4))
+    y = (np.sin(2 * np.pi * np.linspace(0, 1, p))[:, None] * x[:, 0][None, :]
+         + 0.1 * rng.standard_normal((p, 256)))
+
+    model = LCGP(y=y, x=x, q=q)
+    single = float(model.loss())
+
+    vg = parallel.make_sharded_value_and_grad(mesh, model._data)
+    free_s = parallel.place(model._free, parallel.param_shardings(mesh))
+    data_s = parallel.place(model._data,
+                            parallel.data_shardings(mesh, model._data))
+    v, g = vg(free_s, data_s)
+    print(f'sharded loss {float(v):.6f} vs single-device {single:.6f}')
+
+    t0 = time.time()
+    free_fit, final_loss = parallel.fit_sharded(
+        model._data, model._free, mesh, steps=args.steps, learning_rate=3e-2)
+    print(f'{args.steps} sharded Adam steps in {time.time() - t0:.2f}s; '
+          f'loss {single:.4f} -> {float(final_loss):.4f}')
+
+
+if __name__ == '__main__':
+    main()
