@@ -60,8 +60,10 @@ def config4():
     t = np.linspace(0, 1, p)[:, None]
     y = (np.sin(2 * np.pi * (t + x[:, :1].T)) + np.cos(np.pi * t * x[:, 1:2].T)
          + 0.05 * rng.standard_normal((p, n + 256)))
+    # q_chunk: the (q,n,n) stacks at this scale must be processed in
+    # memory-bounded chunks (see likelihood._map_components)
     return dict(name='large_field_n4096_p1000_q20', x=x[:n], y=y[:, :n],
-                xte=x[n:], ytrue=y[:, n:], kwargs=dict(q=q))
+                xte=x[n:], ytrue=y[:, n:], kwargs=dict(q=q, q_chunk=10))
 
 
 def config5():
