@@ -162,15 +162,20 @@ def _bwd_kernel(invl_ref, amp_ref, nug_ref, x1_ref, x2_ref, gbar_ref,
             glens_ref[k, j] += jnp.sum(w * s * s / (1.0 + s)) * il
 
 
+# v5e VMEM is ~16MB/core (raising Mosaic's limit past physical VMEM crashes
+# the worker — verified the hard way).  Mosaic's stack accounting runs ~2x
+# the naive buffer estimate, so budget well under 16MB.
+_VMEM_BUDGET = 7 * 1024 * 1024
+
+
 def _pick_qb(q, d, ti, tj, extra_blocks=0):
     """Largest q-block whose double-buffered output tiles + distance scratch
-    fit in VMEM (~13MB budget).  Taking all of q in one block removes both
-    the q-padding waste and per-step grid overhead."""
-    budget = 13 * 1024 * 1024
+    fit in the VMEM budget.  Taking all of q in one block removes both the
+    q-padding waste and per-step grid overhead."""
     scratch = d * ti * tj * 4
     for qb in range(q, 0, -1):
         need = (2 + extra_blocks) * qb * ti * tj * 4 + scratch
-        if need <= budget:
+        if need <= _VMEM_BUDGET:
             return qb
     return 1
 
