@@ -19,12 +19,18 @@ from .matern import matern32_gram
 _PALLAS_MIN_N = 256
 
 
-def _pallas_applicable(x1, x2, dtype) -> bool:
+def _pallas_applicable(x1, x2, dtype, same: bool) -> bool:
     if os.environ.get("LCGP_TPU_DISABLE_PALLAS"):
         return False
     if dtype != jnp.float32:
         return False
     if jax.default_backend() in ("cpu",):
+        return False
+    # Restricted to the square training Grams: the rectangular predict-time
+    # cross-gram is a small fraction of the work, and the Pallas cross case
+    # embedded in the larger predict program has crashed the v5e worker
+    # (standalone it passes — under investigation); jnp/XLA handles it.
+    if not same:
         return False
     return x1.shape[0] >= _PALLAS_MIN_N and x2.shape[0] >= _PALLAS_MIN_N
 
@@ -54,7 +60,7 @@ def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
     if kind != 'matern32':
         raise ValueError(f"unknown kernel kind {kind!r}")
 
-    if _pallas_applicable(jnp.asarray(x1), jnp.asarray(x2), dt):
+    if _pallas_applicable(jnp.asarray(x1), jnp.asarray(x2), dt, same):
         from .matern_pallas import matern32_gram_pallas
         # `same` positional: custom_vjp nondiff argument
         return matern32_gram_pallas(x1, x2, lengthscales, amplitudes, nuggets,
@@ -77,7 +83,7 @@ def gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
     if kind != 'matern32':
         raise ValueError(f"unknown kernel kind {kind!r}")
     if _pallas_applicable(jnp.asarray(x1), jnp.asarray(x2),
-                          jnp.asarray(cbar).dtype):
+                          jnp.asarray(cbar).dtype, same):
         from .matern_pallas import _bwd_call
         return _bwd_call(x1, x2, lengthscales, amplitudes, nuggets, same,
                          cbar)

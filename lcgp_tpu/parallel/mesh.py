@@ -106,11 +106,12 @@ def make_sharded_value_and_grad(mesh: Mesh, data):
 
 
 def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
-                learning_rate: float = 5e-2):
+                learning_rate: float = 5e-2, block_steps: int = 50):
     """On-device Adam over the mesh.  Returns (free_params, final_loss).
 
-    One jitted scan: parameters and optimizer state stay sharded over
-    'comp' for the whole loop; only the final scalar loss leaves the mesh.
+    Parameters and optimizer state stay sharded over 'comp' for the whole
+    loop; runs in jitted scan segments of ``block_steps`` with a scalar
+    host sync between them (bounded dispatch length — see fit/optax_fit.py).
     """
     import optax
 
@@ -119,22 +120,33 @@ def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
     ps = param_shardings(mesh)
     ds = data_shardings(mesh, data)
 
-    free0 = place(free0, ps)
+    free = place(free0, ps)
     data = place(data, ds)
 
-    @jax.jit
-    def run(free, d):
-        state = opt.init(free)
+    def make_block(length):
+        @jax.jit
+        def run_block(free, state, d):
+            def body(carry, _):
+                free, state = carry
+                v, g = jax.value_and_grad(loss)(free, d)
+                updates, state = opt.update(g, state, free)
+                free = optax.apply_updates(free, updates)
+                return (free, state), v
 
-        def body(carry, _):
-            free, state = carry
-            v, g = jax.value_and_grad(loss)(free, d)
-            updates, state = opt.update(g, state, free)
-            free = optax.apply_updates(free, updates)
-            return (free, state), v
+            (free, state), losses = jax.lax.scan(body, (free, state), None,
+                                                 length=length)
+            return free, state, losses[-1]
+        return run_block
 
-        (free, _), losses = jax.lax.scan(body, (free, state), None,
-                                         length=steps)
-        return free, losses[-1]
-
-    return run(free0, data)
+    state = jax.jit(opt.init)(free)
+    base = min(block_steps, steps)
+    run_full = make_block(base)
+    done = 0
+    last = None
+    while done < steps:
+        length = min(block_steps, steps - done)
+        block = run_full if length == base else make_block(length)
+        free, state, v = block(free, state, data)
+        last = float(v)  # host sync
+        done += length
+    return free, jnp.asarray(last)
