@@ -84,11 +84,16 @@ def _map_components(body, stacks, q_chunk):
 #   full:  t = 0.5 logdet(B) - 0.5 a^T C B^{-1} a,   B = I + D C,  w = B^{-1}a
 #          dt/dC = 0.5 D B^{-1} - 0.5 w w^T          (note C w = (a - w)/D)
 #          dt/da = -C w
-#   rep:   t = -0.5 b^T S b + 0.5 logdet(A),  A = I + D (sr sr^T (.) C),
-#          S = (C^{-1} + D R)^{-1},  z = A^{-1}(sd sr (.) C b),
-#          m~ = C^{-1} S b = b - sd sr (.) z
-#          dt/dC = 0.5 D (sr sr^T (.) A^{-1}) - 0.5 m~ m~^T
-#          dt/db = -S b
+#   rep:   t = -0.5 b^T S b + 0.5 logdet(A),  A = I + D (sr sr^T (.) C).
+#          With P = sqrt(D R) and Lam = (D R)^{-1}:  A = P (C + Lam) P, so
+#          logdet A = sum_i log(D r_i) + logdet(C + Lam), and with
+#          T = (C + Lam)^{-1}, u = T Lam b:
+#            b^T S b = b^T C u,   dt/dC = 0.5 T - 0.5 u u^T,   dt/db = -C u
+#          (u is also exactly the predictive dual weight vector CinvM).
+#          This form avoids the reference's Woodbury cancellation
+#          (lcgp.py:614-621) — catastrophic under TPU-f64's ~1e-13
+#          effective eps at large fitted amplitudes — and shares one
+#          Cholesky between the loss and the predict path.
 #
 # The Gram cotangent then chains through the analytic kernel VJP
 # (ops.gram.gram_vjp — Pallas backward on the f32 TPU path).  Peak backward
@@ -158,18 +163,17 @@ def _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
                    compute_dtype=compute_dtype, kind=kernel)
     dt = C.dtype
     Dc = D.astype(dt)
-    sd = jnp.sqrt(Dc)
-    srr = sr.astype(dt)
-    Cb = _bmv(C, b.astype(dt))
-    A = linalg.add_diag(
-        Dc[:, None, None] * (C * srr[None, None, :] * srr[None, :, None]),
-        1.0 + jitter)
-    LA = linalg.cholesky(A)
-    z = linalg.cho_solve_vec(LA, sd[:, None] * srr[None, :] * Cb)
-    Sb = Cb - _bmv(C, sd[:, None] * srr[None, :] * z)
-    terms = (-0.5 * jnp.sum(b.astype(dt) * Sb, axis=-1)
-             + 0.5 * linalg.chol_logdet(LA))
-    return terms, (xs, sr, lLmb, lLmb0, lnug, D, b, LA, z, Sb)
+    r2 = jnp.square(sr.astype(dt))                          # r
+    lam = 1.0 / (Dc[:, None] * r2[None, :])                 # (q, n)
+    # jitter scaled by the amplitude so the f32 path stays factorizable
+    jit_d = jitter * (1.0 + lLmb0.astype(dt)[:, None])
+    LT = linalg.cholesky(linalg.add_diag(C, lam + jit_d))
+    u = linalg.cho_solve_vec(LT, (lam * b.astype(dt)))      # T Lam b
+    Cu = _bmv(C, u)                                         # S b
+    logdetA = (jnp.sum(jnp.log(Dc[:, None] * r2[None, :]), axis=-1)
+               + linalg.chol_logdet(LT))
+    terms = -0.5 * jnp.sum(b.astype(dt) * Cu, axis=-1) + 0.5 * logdetA
+    return terms, (xs, sr, lLmb, lLmb0, lnug, D, b, LT, u, Cu)
 
 
 def _rep_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
@@ -179,23 +183,17 @@ def _rep_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
 
 
 def _rep_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
-    xs, sr, lLmb, lLmb0, lnug, D, b, LA, z, Sb = res
-    n = LA.shape[-1]
-    dt = LA.dtype
-    Dc = D.astype(dt)
-    sd = jnp.sqrt(Dc)
-    srr = sr.astype(dt)
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), LA.shape)
-    Ainv = linalg.cho_solve(LA, eye)
-    mt = b.astype(dt) - sd[:, None] * srr[None, :] * z   # C^{-1} S b
+    xs, sr, lLmb, lLmb0, lnug, D, b, LT, u, Cu = res
+    n = LT.shape[-1]
+    dt = LT.dtype
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), LT.shape)
+    Tinv = linalg.cho_solve(LT, eye)                     # (C + Lam)^{-1}
     tb = tbar.astype(dt)
-    Cbar = tb[:, None, None] * (
-        0.5 * Dc[:, None, None] * (srr[None, :, None] * srr[None, None, :]
-                                   * Ainv)
-        - 0.5 * mt[:, :, None] * mt[:, None, :])
+    Cbar = tb[:, None, None] * (0.5 * Tinv
+                                - 0.5 * u[:, :, None] * u[:, None, :])
     glens, gamp, gnug = gram_vjp(xs, xs, lLmb, lLmb0, lnug, same=True,
                                  cbar=Cbar, kind=kernel)
-    bbar = (-tb[:, None] * Sb).astype(b.dtype)
+    bbar = (-tb[:, None] * Cu).astype(b.dtype)
     return (jnp.zeros_like(xs), jnp.zeros_like(sr),
             glens.astype(lLmb.dtype), gamp.astype(lLmb0.dtype),
             gnug.astype(lnug.dtype), jnp.zeros_like(D), bbar)

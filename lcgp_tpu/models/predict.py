@@ -117,11 +117,24 @@ def fullcov_full(free: P.FreeParams, data: FullData, gvar, ystd):
 def compute_aux_rep(free: P.FreeParams, data: RepData,
                     compute_dtype=None, jitter: float = 0.0,
                     kernel: str = "matern32") -> RepAux:
+    """Rep-path predictive aux via the classic GP system.
+
+    The reference computes the dual weights by Woodbury cancellation,
+    ``CinvM = b - d R m`` (lcgp.py:781) — numerically catastrophic when the
+    fitted amplitude is large and the arithmetic isn't true f64 (TPU f64
+    emulation has effective eps ~1e-13; observed 20x prediction error at
+    n=1000, amp~3e3).  The identity
+
+        (I + D R C)^{-1} b  =  (C + (D R)^{-1})^{-1} (D R)^{-1} b
+
+    turns it into one cancellation-free solve against the same
+    ``C + diag(1/(D r))`` factor the variances need — one Cholesky total,
+    and bitwise-stable on TPU.
+    """
     lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
     lsig = P.expand_sigma(lsig_g, data.sigma_map)
     sigma_raw = jnp.exp(lsig)
     r = data.r
-    sr = jnp.sqrt(r)
 
     sigma_inv_sqrt = data.scale / jnp.sqrt(sigma_raw)           # (p,)
     v = data.phi * sigma_inv_sqrt[:, None]                      # (p, q)
@@ -130,22 +143,16 @@ def compute_aux_rep(free: P.FreeParams, data: RepData,
     C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
                    compute_dtype=compute_dtype, kind=kernel)
     D = data.diag_D.astype(C.dtype)
-    sd = jnp.sqrt(D)
 
-    # Woodbury mean m_k = (C^{-1} + d_k R)^{-1} b_k  (same algebra as loss)
-    Cb = _bmv(C, b.astype(C.dtype))
-    A = linalg.add_diag(
-        D[:, None, None] * (C * sr[None, None, :] * sr[None, :, None]),
-        1.0 + jitter)
-    LA = linalg.cholesky(A)
-    z = linalg.cho_solve_vec(LA, sd[:, None] * sr[None, :] * Cb)
-    m = Cb - _bmv(C, sd[:, None] * sr[None, :] * z)             # (q, n)
+    # LT = chol(C + diag(1/(D r))): shared by dual weights and variances
+    lam = 1.0 / (D[:, None] * r[None, :])                       # (q, n)
+    LT = linalg.cholesky(linalg.add_diag(C, lam + jitter))
 
-    CinvM = b.astype(C.dtype) - D[:, None] * r[None, :] * m
+    CinvM = linalg.cho_solve_vec(LT, (lam * b).astype(LT.dtype))
 
-    # T_k = (C_k + diag(1/(d_k r)))^{-1}, stored as its Cholesky factor
-    LT = linalg.cholesky(
-        linalg.add_diag(C, 1.0 / (D[:, None] * r[None, :]) + jitter))
+    # training-point latent means m = S b = C @ CinvM (diagnostic,
+    # reference lcgp.py:779)
+    m = _bmv(C, CinvM)
 
     psi_c = data.phi.T * sigma_inv_sqrt[None, :]                # (q, p)
     return RepAux(CinvM=CinvM, LT=LT, mks=m, psi_c=psi_c)
