@@ -422,13 +422,37 @@ class LCGP:
             return None
         return self._ensure_aux().psi_c
 
-    def predict(self, x0, return_fullcov: bool = False):
+    def predict(self, x0, return_fullcov: bool = False,
+                batch_size: Optional[int] = None):
+        """Predict at x0 (n0, d) -> tuple of (p, n0) arrays.
+
+        batch_size: evaluate test points in chunks of this many (bounds the
+        (q, n0, n) cross-covariance working set for production-scale n0);
+        None predicts in one shot.  Not combined with return_fullcov.
+        """
         x0 = self._verify_data_types(x0)
         try:
             predict_call = self.submethod_predict_map[self.submethod]
         except KeyError:
             raise KeyError("Invalid submethod.  Choices are 'full' or 'rep'.")
-        return predict_call(x0=x0, return_fullcov=return_fullcov)
+        if batch_size is None or x0.shape[0] <= batch_size:
+            return predict_call(x0=x0, return_fullcov=return_fullcov)
+        if return_fullcov:
+            raise ValueError('batch_size is not supported with '
+                             'return_fullcov=True.')
+        n0 = x0.shape[0]
+        # pad the final chunk so every batch compiles to one shape
+        chunks = []
+        for s in range(0, n0, batch_size):
+            blk = x0[s:s + batch_size]
+            pad = batch_size - blk.shape[0]
+            if pad:
+                blk = jnp.concatenate([blk, blk[-1:].repeat(pad, axis=0)])
+            out = predict_call(x0=blk, return_fullcov=False)
+            chunks.append([o[:, :batch_size - pad] if pad else o
+                           for o in out])
+        return tuple(jnp.concatenate([c[i] for c in chunks], axis=1)
+                     for i in range(3))
 
     def _standardize_x0(self, x0):
         x0 = self._verify_data_types(x0)

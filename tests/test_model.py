@@ -220,3 +220,38 @@ class TestPersistence:
         m.set_params(lLmb=np.asarray(lLmb) * 2.0)
         np.testing.assert_allclose(np.asarray(m.lLmb), np.asarray(lLmb) * 2,
                                    rtol=1e-8)
+
+
+class TestPredictBatching:
+    def test_batched_matches_oneshot(self):
+        rng = np.random.default_rng(21)
+        x = rng.uniform(0, 1, (30, 2))
+        y = rng.standard_normal((3, 30))
+        m = LCGP(y=y, x=x)
+        x0 = rng.uniform(0, 1, (23, 2))
+        full = m.predict(x0)
+        batched = m.predict(x0, batch_size=7)  # 23 = 3*7 + 2 -> padded tail
+        for a, b in zip(full, batched):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12)
+
+    def test_batched_rep(self):
+        rng = np.random.default_rng(22)
+        xu = rng.uniform(0, 1, (10, 1))
+        x = np.tile(xu, (2, 1))
+        y = rng.standard_normal((2, 20))
+        m = LCGP(y=y, x=x, submethod='rep')
+        x0 = rng.uniform(0, 1, (11, 1))
+        full = m.predict(x0)
+        batched = m.predict(x0, batch_size=4)
+        for a, b in zip(full, batched):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12)
+
+    def test_batch_with_fullcov_raises(self):
+        rng = np.random.default_rng(23)
+        x = rng.uniform(0, 1, (15, 1))
+        y = rng.standard_normal((2, 15))
+        m = LCGP(y=y, x=x)
+        with pytest.raises(ValueError):
+            m.predict(x, batch_size=4, return_fullcov=True)
