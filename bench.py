@@ -101,13 +101,13 @@ def main():
     secs64, chunk64 = _time_with_fallback(
         lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
             lambda f_: lik.neglpost_full(f_, d, q_chunk=qc))(fr)),
-        free, data, chunks=(10, 5, 2))  # custom-VJP loss: ~4 stacks/chunk
+        free, data, chunks=(5, 2))  # q_chunk=10 f64 exceeds HBM (measured)
 
     secs32, chunk32 = _time_with_fallback(
         lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
             lambda f_: lik.neglpost_full(f_, d, compute_dtype=jax.numpy.float32,
                                          jitter=1e-6, q_chunk=qc))(fr)),
-        free, data, chunks=(None, 10, 5))
+        free, data, chunks=(10, 5))  # un-chunked f32 exceeds HBM (measured)
 
     evals64 = 1.0 / secs64
     evals32 = 1.0 / secs32
