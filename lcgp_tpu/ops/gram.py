@@ -20,6 +20,12 @@ _PALLAS_MIN_N = 256
 
 
 def _pallas_applicable(x1, x2, dtype, same: bool) -> bool:
+    # Opt-in (LCGP_TPU_PALLAS=1): measured end-to-end at the headline
+    # config, XLA's elementwise fusion of the jnp Gram is currently ~12%
+    # faster than the Pallas kernel pair; the kernel is kept (correct and
+    # TPU-verified) for its fused backward and further tuning.
+    if not os.environ.get("LCGP_TPU_PALLAS"):
+        return False
     if os.environ.get("LCGP_TPU_DISABLE_PALLAS"):
         return False
     if dtype != jnp.float32:
