@@ -12,5 +12,12 @@ from . import evaluation
 from . import datasets
 from .test import test
 
-__version__ = '0.1.0'
+# Resolve the version from installed package metadata when available
+# (reference src/lcgp/__init__.py:5-11); fall back to the source tree's
+# pyproject value when running uninstalled.
+try:
+    from importlib.metadata import PackageNotFoundError, version
+    __version__ = version('lcgp_tpu')
+except PackageNotFoundError:
+    __version__ = '0.1.0'
 __all__ = ['LCGP', 'Matern32', 'test', 'evaluation', 'datasets', '__version__']

@@ -44,8 +44,10 @@ def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
         v = float(v)
         g = np.asarray(g, dtype=np.float64)
         if not np.isfinite(v):
-            # L-BFGS-B handles inf by backtracking; kill NaN gradients so the
-            # line search can recover instead of poisoning the state.
+            # L-BFGS-B backtracks reliably on inf but can stall on NaN:
+            # map any non-finite objective to +inf and kill NaN gradients
+            # so the line search can recover instead of poisoning the state.
+            v = np.inf
             g = np.where(np.isfinite(g), g, 0.0)
         if verbose:
             print(f"[lcgp_tpu.fit] eval {neval:4d}  loss {v:.8g}")

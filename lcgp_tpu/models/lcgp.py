@@ -23,6 +23,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import dtype_for, jitter_for
+from ..ops import linalg as lk_linalg
 from ..fit.scipy_lbfgs import minimize_lbfgs
 from ..fit.optax_fit import minimize_adam, minimize_lbfgs_jax
 from . import basis as basis_mod
@@ -222,6 +223,14 @@ class LCGP:
         return xs * (self.x_max - self.x_min) + self.x_min
 
     def tx_y(self, ys):
+        """Inverse y-standardization.  Full mode un-standardizes by
+        ymean/ystd; rep mode by ybar_mean/ybar_std (identity when
+        rep_standardize_ybar=False).  The reference's version raises
+        AttributeError on the rep path (its ymean/ystd are never set)."""
+        if self.submethod == 'rep':
+            if self.rep_standardize_ybar:
+                return ys * self.ybar_std + self.ybar_mean
+            return ys
         return ys * self.ystd + self.ymean
 
     @staticmethod
@@ -263,7 +272,9 @@ class LCGP:
 
     def _ensure_replication(self):
         if not self._rep_initialized:
-            self.preprocess()
+            (self.x_unique, self.x_unique_s, self.group_ids, self.r, _,
+             self.ybar, self.ybar_s, self.ybar_mean, self.ybar_std,
+             _, _, _) = self.preprocess()
             self._rep_initialized = True
 
     def _get_phi_input(self):
@@ -343,14 +354,30 @@ class LCGP:
                              jitter=self._jitter, q_chunk=self.q_chunk,
                              kernel=self.kernel)
 
-    def fit(self, verbose: bool = False, method: str = 'scipy', **kwargs):
+    # At-and-above this many (unique) design points the scipy driver's
+    # hundreds of synchronous host<->device round-trips dominate wall-clock
+    # (measured: borehole n=1000 fit 2291 s via scipy vs <300 s on-device),
+    # so fit() auto-selects the on-device L-BFGS.
+    _AUTO_ONDEVICE_N = 512
+
+    def fit(self, verbose: bool = False, method: str = 'auto', **kwargs):
         """Optimize hyperparameters.
 
+        method='auto'   : 'scipy' for small problems, on-device 'lbfgs-jax'
+                          once n >= 512 (where per-iteration host round-trips
+                          dominate the wall-clock on accelerators).
         method='scipy'  : scipy L-BFGS-B over jitted value_and_grad (the
-                          reference's semantics, lcgp.py:537-540).
+                          reference's semantics, lcgp.py:537-540; use for
+                          parity runs).
         method='adam'   : on-device Adam (kwargs: steps, learning_rate).
         method='lbfgs-jax': on-device optax L-BFGS (kwargs: maxiter, tol).
         """
+        if method == 'auto':
+            method = ('lbfgs-jax' if self.n >= self._AUTO_ONDEVICE_N
+                      else 'scipy')
+            if verbose or self.verbose:
+                print(f'[lcgp_tpu.fit] auto-selected method={method!r} '
+                      f'(n={self.n})')
         loss_fn = self._loss_fn()
         if method == 'scipy':
             res = minimize_lbfgs(loss_fn, self._free,
@@ -398,14 +425,45 @@ class LCGP:
 
     @property
     def Ths(self):
-        """Full path: the stored Cholesky factors play the role of the
-        reference's Th_k (Th_k^2 = D_k (I + D_k C_k)^{-1})."""
+        """Full path: the reference's Th_k matrices (lcgp.py:709-715) — the
+        symmetric square root of D_k (I + D_k C_k)^{-1}.
+
+        The hot paths never materialize these (they use the Cholesky factor
+        ``LBs``); this accessor reconstructs the reference quantity exactly,
+        via one batched eigh, so user code that consumed Th_k numerically
+        keeps working."""
+        if self.submethod == 'rep':
+            return None
+        aux = self._ensure_aux()
+        B = aux.LB @ jnp.swapaxes(aux.LB, -1, -2)      # (q, n, n)
+        wB, U = jnp.linalg.eigh(B)                     # B = U diag(wB) U^T
+        scal = jnp.sqrt(self.diag_D[:, None].astype(wB.dtype) / wB)
+        return jnp.einsum('qij,qj,qkj->qik', U, scal, U)
+
+    @property
+    def Tks(self):
+        """Rep path: the reference's T_k = C^{-1} - C^{-1}(C^{-1}+d_k R)^{-1}
+        C^{-1} (lcgp.py:783-788), equal by the matrix-inversion lemma to
+        (C_k + (d_k R)^{-1})^{-1}.  Reconstructed on access from the stored
+        Cholesky factor ``LTs`` (the hot paths never form the inverse)."""
+        if self.submethod != 'rep':
+            return None
+        aux = self._ensure_aux()
+        n = aux.LT.shape[-1]
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=aux.LT.dtype), aux.LT.shape)
+        return lk_linalg.cho_solve(aux.LT, eye)
+
+    @property
+    def LBs(self):
+        """Full path: chol(I + D_k C_k) stack — the factor the fast paths
+        actually use (Th_k^2 = D_k (I + D_k C_k)^{-1})."""
         if self.submethod == 'rep':
             return None
         return self._ensure_aux().LB
 
     @property
-    def Tks(self):
+    def LTs(self):
+        """Rep path: chol(C_k + diag(1/(d_k r))) stack."""
         if self.submethod != 'rep':
             return None
         return self._ensure_aux().LT

@@ -139,8 +139,8 @@ def _full_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
                                 - 0.5 * w[:, :, None] * w[:, None, :])
     glens, gamp, gnug = gram_vjp(xs, xs, lLmb, lLmb0, lnug, same=True,
                                  cbar=Cbar, kind=kernel)
-    # C w = (a - w) / D  (from B w = a)
-    Cw = (a.astype(dt) - w) / Dm[:, None]
+    # C w = (a - (1+jitter) w) / D  (from B w = a, B = D C + (1+jitter) I)
+    Cw = (a.astype(dt) - (1.0 + jitter) * w) / Dm[:, None]
     abar = (-tb[:, None] * Cw).astype(a.dtype)
     return (jnp.zeros_like(xs), glens.astype(lLmb.dtype),
             gamp.astype(lLmb0.dtype), gnug.astype(lnug.dtype),

@@ -144,9 +144,13 @@ def compute_aux_rep(free: P.FreeParams, data: RepData,
                    compute_dtype=compute_dtype, kind=kernel)
     D = data.diag_D.astype(C.dtype)
 
-    # LT = chol(C + diag(1/(D r))): shared by dual weights and variances
+    # LT = chol(C + diag(1/(D r))): shared by dual weights and variances.
+    # Jitter formula matches the training loss (_rep_terms_fwd_impl) so the
+    # predictive factor is the same regularized system the hyperparameters
+    # were optimized against.
     lam = 1.0 / (D[:, None] * r[None, :])                       # (q, n)
-    LT = linalg.cholesky(linalg.add_diag(C, lam + jitter))
+    jit_d = jitter * (1.0 + lLmb0.astype(C.dtype)[:, None])
+    LT = linalg.cholesky(linalg.add_diag(C, lam + jit_d))
 
     CinvM = linalg.cho_solve_vec(LT, (lam * b).astype(LT.dtype))
 

@@ -78,43 +78,30 @@ class LCGPRun(SuperRun):
 
 
 # ---------------------------------------------------------------------------
-# Harness-local metric helpers (behavioral spec: docs/call_model.py:89-126 —
-# the reference ships these *variants* alongside lcgp.evaluation; semantics
-# differ slightly: per-output normalization options, z-based intervals,
-# mean-aggregated DSS)
+# Harness metric variants (behavioral spec: docs/call_model.py:89-126).
+# The reference duplicates its metric formulas in the harness with slightly
+# different semantics; here they are thin parameterizations of
+# lcgp_tpu.evaluation (the single implementation).
 # ---------------------------------------------------------------------------
 
-def rmse(ytrue, yhat):
-    return float(np.sqrt(np.mean((np.asarray(ytrue) - np.asarray(yhat)) ** 2)))
+from . import evaluation as _ev
+
+rmse = _ev.rmse
 
 
 def normalized_rmse(ytrue, yhat, method: str = 'range'):
-    ytrue = np.asarray(ytrue)
-    yhat = np.asarray(yhat)
-    if method == 'range':
-        scale = np.ptp(ytrue, axis=1, keepdims=True)
-    elif method == 'std':
-        scale = np.std(ytrue, axis=1, ddof=0, keepdims=True)
-    else:
-        raise ValueError("method must be 'range' or 'std'")
-    scale = np.where(scale == 0, 1.0, scale)
-    per = np.sqrt(np.mean((ytrue - yhat) ** 2, axis=1, keepdims=True)) / scale
-    return float(np.mean(per))
+    """Per-output-normalized RMSE, averaged over outputs."""
+    return _ev.normalized_rmse(ytrue, yhat, method=method,
+                               aggregate='mean_per_output')
 
 
 def intervalstats(ytrue, mean, var, z: float = 1.96):
     """Nominal-z predictive interval coverage/width.  Use confvar when
     comparing to noise-free truth."""
-    sd = np.sqrt(np.asarray(var))
-    ytrue = np.asarray(ytrue)
-    mean = np.asarray(mean)
-    covered = (ytrue >= mean - z * sd) & (ytrue <= mean + z * sd)
-    return float(np.mean(covered)), float(np.mean(2 * z * sd))
+    return _ev.intervalstats(ytrue, mean, var, z=z)
 
 
 def dss(ytrue, mean, var, use_diag: bool = True):
-    """Mean-aggregated Gaussian Dawid–Sebastiani score."""
-    eps = 1e-12
-    s2 = np.maximum(np.asarray(var), eps)
-    term = ((np.asarray(ytrue) - np.asarray(mean)) ** 2) / s2 + np.log(s2)
-    return float(np.mean(term))
+    """Mean-aggregated (per-entry) Gaussian Dawid–Sebastiani score."""
+    return _ev.dss(ytrue, mean, var, use_diag=use_diag,
+                   aggregate='per_entry', var_floor=1e-12)

@@ -78,6 +78,44 @@ class TestAuxRefresh:
         assert m.mks is None
         assert m.Ths.shape == (m.q, 20, 20)
 
+    def test_Ths_is_reference_matrix(self):
+        """Ths must be the reference's Th_k (symmetric sqrt of
+        D_k (I + D_k C_k)^{-1}, lcgp.py:709-715), not an internal factor."""
+        rng = np.random.default_rng(60)
+        x = rng.uniform(0, 1, (15, 1))
+        y = rng.standard_normal((2, 15))
+        m = LCGP(y=y, x=x)
+        Th = np.asarray(m.Ths)
+        # symmetric, and Th^2 == D (I + D C)^{-1}
+        np.testing.assert_allclose(Th, np.swapaxes(Th, -1, -2), atol=1e-10)
+        LB = np.asarray(m.LBs)
+        for k in range(m.q):
+            B = LB[k] @ LB[k].T
+            expect = float(m.diag_D[k]) * np.linalg.inv(B)
+            np.testing.assert_allclose(Th[k] @ Th[k], expect,
+                                       rtol=1e-8, atol=1e-10)
+
+    def test_Tks_is_reference_matrix(self):
+        """Tks must equal C^{-1} - C^{-1}(C^{-1}+d_k R)^{-1}C^{-1}
+        (reference lcgp.py:783-788) == (C + (d_k R)^{-1})^{-1}."""
+        x, y = _rep_data(61)
+        m = LCGP(y=y, x=x, submethod='rep')
+        T = np.asarray(m.Tks)
+        LT = np.asarray(m.LTs)
+        for k in range(m.q):
+            A = LT[k] @ LT[k].T            # C_k + diag(1/(d_k r))
+            np.testing.assert_allclose(T[k], np.linalg.inv(A),
+                                       rtol=1e-8, atol=1e-10)
+
+    def test_tx_y_rep_mode(self):
+        x, y = _rep_data(62)
+        m = LCGP(y=y, x=x, submethod='rep')
+        back = np.asarray(m.tx_y(m.ybar_s))
+        np.testing.assert_allclose(back, np.asarray(m.ybar), atol=1e-10)
+        m2 = LCGP(y=y, x=x, submethod='rep', rep_standardize_ybar=False)
+        same = np.asarray(m2.tx_y(m2.ybar))
+        np.testing.assert_allclose(same, np.asarray(m2.ybar), atol=1e-12)
+
 
 class TestCombinedFlags:
     @pytest.mark.parametrize('robust', [True, False])
