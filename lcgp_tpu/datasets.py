@@ -98,6 +98,38 @@ def make_rep_data_skewed(n_unique=40, heavy_region=(0.20, 0.45),
     return xtrain, ytrain, xtest, ytrue
 
 
+def make_rep_data_hotspots(n_unique=50,
+                           hotspots=((0.15, 10, 15), (0.50, 18, 25),
+                                     (0.80, 12, 20)),
+                           base_rep_choices=(1,),
+                           noise_std=(0.05, 0.08, 0.10), seed=None,
+                           n_test=400):
+    """Hot-spot replication design: a few heavily replicated locations
+    (each hotspot is (center, min_rep, max_rep)), single observations
+    elsewhere."""
+    rng = np.random.default_rng(seed)
+    x_unique = np.linspace(0.0, 1.0, n_unique)
+    hot = {int(np.argmin(np.abs(x_unique - c))): (lo, hi)
+           for c, lo, hi in hotspots}
+    xs, ys = [], []
+    for i, xi in enumerate(x_unique):
+        if i in hot:
+            lo, hi = hot[i]
+            rep = int(rng.integers(lo, hi + 1))
+        else:
+            rep = int(rng.choice(base_rep_choices))
+        yi = f_true_1d([xi])[:, 0]
+        for _ in range(rep):
+            eps = rng.normal(0, noise_std, 3)
+            xs.append([xi])
+            ys.append(yi + eps)
+    xtrain = np.array(xs)
+    ytrain = np.array(ys).T
+    xtest = np.linspace(0.0, 1.0, n_test)[:, None]
+    ytrue = f_true_1d(xtest[:, 0])
+    return xtrain, ytrain, xtest, ytrue
+
+
 def borehole(x):
     """Borehole function; x (n, 8) in [0,1]^8 scaled to physical ranges.
     Returns (n,) water-flow response."""
