@@ -55,7 +55,8 @@ class LCGP:
                  verbose: bool = False,
                  precision: str = 'high',
                  q_chunk: Optional[int] = None,
-                 kernel: str = 'matern32'):
+                 kernel: str = 'matern32',
+                 inducing=None):
         if y is None or x is None:
             raise ValueError('LCGP requires both y (p, n) and x (n, d).')
 
@@ -147,6 +148,29 @@ class LCGP:
         self._aux_version = -1
 
         self._data = self._build_data()
+
+        # Optional FITC/Nystrom inducing-point approximation (extra beyond
+        # the reference — its own Nystrom draft is dead code, covmat.py:57-93).
+        # inducing: int m (greedy farthest-point subset of the standardized
+        # design) or an (m, d) array in original x units.
+        self._z = None
+        if inducing is not None:
+            from . import sparse
+            xs_std = np.asarray(self._data.xs)
+            if np.ndim(inducing) == 0:
+                m = int(inducing)
+                if m >= xs_std.shape[0]:
+                    raise ValueError(
+                        f'inducing={m} must be < n={xs_std.shape[0]} '
+                        '(use the exact path instead)')
+                z = sparse.select_inducing(xs_std, m)
+            else:
+                z = np.asarray(inducing, dtype=np.float64)
+                if z.ndim < 2:
+                    z = z[:, None]
+                z = (z - np.asarray(self.x_min)) / \
+                    (np.asarray(self.x_max) - np.asarray(self.x_min))
+            self._z = jnp.asarray(z)
 
     # ------------------------------------------------------------------
     # Data containers for the functional core
@@ -337,18 +361,35 @@ class LCGP:
             raise ValueError("Invalid submethod. Choices are 'full' or 'rep'.")
 
     def neglpost(self):
+        if self._z is not None:
+            from . import sparse
+            return sparse.neglpost_full_fitc(
+                self._free, self._data, self._z,
+                compute_dtype=self._compute_dtype, kernel=self.kernel)
         return lik.neglpost_full(self._free, self._data,
                                  compute_dtype=self._compute_dtype,
                                  jitter=self._jitter, q_chunk=self.q_chunk,
                                  kernel=self.kernel)
 
     def neglpost_rep(self):
+        if self._z is not None:
+            from . import sparse
+            return sparse.neglpost_rep_fitc(
+                self._free, self._data, self._z,
+                compute_dtype=self._compute_dtype, kernel=self.kernel)
         return lik.neglpost_rep(self._free, self._data,
                                 compute_dtype=self._compute_dtype,
                                 jitter=self._jitter, q_chunk=self.q_chunk,
                                 kernel=self.kernel)
 
     def _loss_fn(self):
+        if self._z is not None:
+            from . import sparse
+            fitc = (sparse.neglpost_rep_fitc if self.submethod == 'rep'
+                    else sparse.neglpost_full_fitc)
+            return lambda free: fitc(free, self._data, self._z,
+                                     compute_dtype=self._compute_dtype,
+                                     kernel=self.kernel)
         return lik.make_loss(self.submethod, self._data,
                              compute_dtype=self._compute_dtype,
                              jitter=self._jitter, q_chunk=self.q_chunk,
@@ -398,7 +439,12 @@ class LCGP:
     # ------------------------------------------------------------------
     def _ensure_aux(self):
         if self._aux is None or self._aux_version != self._params_version:
-            if self.submethod == 'rep':
+            if self._z is not None:
+                from . import sparse
+                self._aux = sparse.compute_aux_fitc(
+                    self._free, self._data, self._z, self.submethod,
+                    compute_dtype=self._compute_dtype, kernel=self.kernel)
+            elif self.submethod == 'rep':
                 self._aux = pred.compute_aux_rep(
                     self._free, self._data, compute_dtype=self._compute_dtype,
                     jitter=self._jitter, kernel=self.kernel)
@@ -421,7 +467,9 @@ class LCGP:
 
     @property
     def CinvMs(self):
-        return self._ensure_aux().CinvM
+        aux = self._ensure_aux()
+        # FITC aux stores the dual weights as ``u``
+        return aux.CinvM if hasattr(aux, 'CinvM') else aux.u
 
     @property
     def Ths(self):
@@ -432,7 +480,7 @@ class LCGP:
         ``LBs``); this accessor reconstructs the reference quantity exactly,
         via one batched eigh, so user code that consumed Th_k numerically
         keeps working."""
-        if self.submethod == 'rep':
+        if self.submethod == 'rep' or self._z is not None:
             return None
         aux = self._ensure_aux()
         B = aux.LB @ jnp.swapaxes(aux.LB, -1, -2)      # (q, n, n)
@@ -446,7 +494,7 @@ class LCGP:
         C^{-1} (lcgp.py:783-788), equal by the matrix-inversion lemma to
         (C_k + (d_k R)^{-1})^{-1}.  Reconstructed on access from the stored
         Cholesky factor ``LTs`` (the hot paths never form the inverse)."""
-        if self.submethod != 'rep':
+        if self.submethod != 'rep' or self._z is not None:
             return None
         aux = self._ensure_aux()
         n = aux.LT.shape[-1]
@@ -457,26 +505,26 @@ class LCGP:
     def LBs(self):
         """Full path: chol(I + D_k C_k) stack — the factor the fast paths
         actually use (Th_k^2 = D_k (I + D_k C_k)^{-1})."""
-        if self.submethod == 'rep':
+        if self.submethod == 'rep' or self._z is not None:
             return None
         return self._ensure_aux().LB
 
     @property
     def LTs(self):
         """Rep path: chol(C_k + diag(1/(d_k r))) stack."""
-        if self.submethod != 'rep':
+        if self.submethod != 'rep' or self._z is not None:
             return None
         return self._ensure_aux().LT
 
     @property
     def mks(self):
-        if self.submethod != 'rep':
+        if self.submethod != 'rep' or self._z is not None:
             return None
         return self._ensure_aux().mks
 
     @property
     def psi_c(self):
-        if self.submethod != 'rep':
+        if self.submethod != 'rep' or self._z is not None:
             return None
         return self._ensure_aux().psi_c
 
@@ -516,13 +564,22 @@ class LCGP:
         x0 = self._verify_data_types(x0)
         return (x0 - self.x_min) / (self.x_max - self.x_min)
 
+    def _latent_predict(self, aux, x0s):
+        if self._z is not None:
+            from . import sparse
+            return sparse.predict_fitc_core(
+                self._free, self._data, aux, self._z, x0s,
+                compute_dtype=self._compute_dtype, kernel=self.kernel)
+        core = (pred.predict_rep_core if self.submethod == 'rep'
+                else pred.predict_full_core)
+        return core(self._free, self._data, aux, x0s,
+                    compute_dtype=self._compute_dtype, jitter=self._jitter,
+                    kernel=self.kernel)
+
     def predict_full(self, x0, return_fullcov: bool = False):
         aux = self._ensure_aux()
         x0s = self._standardize_x0(x0)
-        ghat, gvar = pred.predict_full_core(
-            self._free, self._data, aux, x0s,
-            compute_dtype=self._compute_dtype, jitter=self._jitter,
-            kernel=self.kernel)
+        ghat, gvar = self._latent_predict(aux, x0s)
         self.ghat, self.gvar = ghat, gvar
         ypred, ypredvar, yconfvar = pred.recombine_full(
             self._free, self._data, ghat, gvar, self.ymean, self.ystd)
@@ -535,10 +592,7 @@ class LCGP:
     def predict_rep(self, x0, return_fullcov: bool = False):
         aux = self._ensure_aux()
         x0s = self._standardize_x0(x0)
-        ghat, gvar = pred.predict_rep_core(
-            self._free, self._data, aux, x0s,
-            compute_dtype=self._compute_dtype, jitter=self._jitter,
-            kernel=self.kernel)
+        ghat, gvar = self._latent_predict(aux, x0s)
         self.ghat, self.gvar = ghat, gvar
         if self.rep_standardize_ybar:
             mean, std = self.ybar_mean, self.ybar_std
@@ -564,10 +618,14 @@ class LCGP:
                    rep_standardize_ybar=self.rep_standardize_ybar,
                    precision=self.precision, kernel=self.kernel,
                    q_chunk=self.q_chunk)
+        extra = {}
+        if self._z is not None:
+            extra['inducing_z_std'] = np.asarray(self._z)
         np.savez(path,
                  config=json.dumps(cfg),
                  x_orig=np.asarray(self.x_orig),
                  y_orig=np.asarray(self.y_orig),
+                 **extra,
                  # free (unconstrained) values are the source of truth so the
                  # roundtrip is exact; constrained values stored for inspection
                  free_lLmb=np.asarray(self._free.lLmb),
@@ -594,5 +652,7 @@ class LCGP:
                                    jnp.asarray(z['free_lLmb0']),
                                    jnp.asarray(z['free_lsigma2s']),
                                    jnp.asarray(z['free_lnugGPs']))
+        if 'inducing_z_std' in z:
+            model._z = jnp.asarray(z['inducing_z_std'])
         model._params_version += 1
         return model

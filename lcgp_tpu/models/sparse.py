@@ -1,0 +1,236 @@
+"""FITC/Nyström inducing-point path for n >> 10^4.
+
+The reference drafted and abandoned a Nyström sparse kernel (dead code at
+reference covmat.py:57-93); this is the working TPU-native equivalent.
+
+Both exact losses share one algebraic core per component (likelihood.py):
+
+    u    = (C + Lam)^{-1} Lam b          Lam diagonal:
+    quad = b^T C u                         rep:  Lam = 1/(D r)
+    ld   = logdet(C + Lam)                 full: Lam = (1/D) 1
+
+FITC replaces the smooth kernel part with its Nyström approximation
+Q = Knm Kmm^{-1} Kmn plus an exact diagonal correction:
+
+    C_hat = Q + diag(c_diag - q_diag),  c_diag = amp (Matern diag)
+
+so C_hat + Lam = W W^T + Lam~ with W = Knm Lmm^{-T} (n, m) and
+Lam~ = Lam + c_diag - q_diag.  Woodbury gives everything at O(n m^2)
+per component instead of O(n^3):
+
+    M  = I_m + W^T Lam~^{-1} W,   LM = chol(M)
+    (C_hat + Lam)^{-1} v = Lam~^{-1} v - Lam~^{-1} W M^{-1} W^T Lam~^{-1} v
+    logdet(C_hat + Lam) = sum log Lam~ + logdet(M)
+
+All of it batched over the q component axis (the (q, n, m) W stack is the
+big resident object — n=50k, m=512, q=5 is ~1 GB in f64).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import linalg
+from ..ops.gram import gram_stack
+from ..ops.matern import matern32_diag
+from . import params as P
+from .likelihood import FullData, RepData
+
+# jitter on Kmm's diagonal (relative to amplitude): the Nystrom factor is
+# rank-deficient by construction when inducing points nearly coincide
+KMM_JITTER = 1e-8
+
+
+def select_inducing(x, m: int):
+    """Greedy farthest-point (max-min) selection of m rows of x (n, d).
+
+    Deterministic, O(n m), gives space-filling inducing locations without
+    external clustering deps.  Returns the (m, d) subset.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if m >= n:
+        return x.copy()
+    idx = [int(np.argmin(np.linalg.norm(x - x.mean(0), axis=1)))]
+    d2 = np.sum((x - x[idx[0]]) ** 2, axis=1)
+    for _ in range(m - 1):
+        nxt = int(np.argmax(d2))
+        idx.append(nxt)
+        d2 = np.minimum(d2, np.sum((x - x[nxt]) ** 2, axis=1))
+    return x[np.asarray(idx)]
+
+
+class FitcCore(NamedTuple):
+    """Per-component Woodbury state shared by loss and predict."""
+    Lmm: jnp.ndarray      # (q, m, m) chol of Kmm + jitter
+    W: jnp.ndarray        # (q, n, m) Knm Lmm^{-T}
+    lam_t: jnp.ndarray    # (q, n) Lam~ = Lam + c_diag - q_diag
+    LM: jnp.ndarray       # (q, m, m) chol(I + W^T Lam~^{-1} W)
+
+
+def _fitc_core(xs, z, lLmb, lLmb0, lnug, lam, *, compute_dtype, kernel):
+    """Build the Woodbury state.  lam: (q, n) exact diagonal."""
+    Kmm = gram_stack(z, z, lLmb, lLmb0, lnug, same=False,
+                     compute_dtype=compute_dtype, kind=kernel)  # (q, m, m)
+    amp = lLmb0.astype(Kmm.dtype)
+    Lmm = linalg.cholesky(
+        linalg.add_diag(Kmm, KMM_JITTER * amp[:, None]))
+    Knm = gram_stack(xs, z, lLmb, lLmb0, lnug, same=False,
+                     compute_dtype=compute_dtype, kind=kernel)  # (q, n, m)
+    # W = Knm Lmm^{-T}: solve Lmm W^T = Knm^T
+    W = jnp.swapaxes(
+        linalg.solve_tri_lower(Lmm, jnp.swapaxes(Knm, -1, -2)), -1, -2)
+    q_diag = jnp.sum(jnp.square(W), axis=-1)                   # (q, n)
+    c_diag = amp[:, None] * jnp.ones_like(q_diag)              # Matern diag
+    lam_t = lam.astype(W.dtype) + jnp.maximum(c_diag - q_diag, 0.0)
+    WtLi = jnp.swapaxes(W, -1, -2) / lam_t[:, None, :]         # (q, m, n)
+    M = linalg.add_diag(WtLi @ W, 1.0)
+    LM = linalg.cholesky(M)
+    return FitcCore(Lmm=Lmm, W=W, lam_t=lam_t, LM=LM)
+
+
+def _fitc_solve(core: FitcCore, v):
+    """(C_hat + Lam)^{-1} v for v (q, n) via Woodbury."""
+    vi = v / core.lam_t
+    t = jnp.einsum('qnm,qn->qm', core.W, vi)
+    s = linalg.cho_solve_vec(core.LM, t)
+    return vi - jnp.einsum('qnm,qm->qn', core.W, s) / core.lam_t
+
+
+def _fitc_logdet(core: FitcCore):
+    return (jnp.sum(jnp.log(core.lam_t), axis=-1)
+            + linalg.chol_logdet(core.LM))                     # (q,)
+
+
+def _fitc_terms(core: FitcCore, lam, b):
+    """(-0.5 quad, 0.5 ld) building blocks: u, quad, ld per component."""
+    b = b.astype(core.W.dtype)
+    u = _fitc_solve(core, lam.astype(core.W.dtype) * b)
+    # C_hat u = W W^T u + (lam_t - lam) u   (diag corr = lam_t - lam)
+    Cu = (jnp.einsum('qnm,qm->qn', core.W,
+                     jnp.einsum('qnm,qn->qm', core.W, u))
+          + (core.lam_t - lam.astype(core.W.dtype)) * u)
+    quad = jnp.sum(b * Cu, axis=-1)
+    return u, quad, _fitc_logdet(core)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "kernel"))
+def neglpost_full_fitc(free: P.FreeParams, data: FullData, z,
+                       compute_dtype=None, kernel: str = "matern32"):
+    """FITC approximation of the full-data loss (likelihood.neglpost_full
+    semantics, reference lcgp.py:635-666) at O(q n m^2)."""
+    lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
+    lsig = P.expand_sigma(lsig_g, data.sigma_map)
+    sigma = jnp.exp(lsig)
+    n = data.xs.shape[0]
+
+    psi_c = data.phi / jnp.sqrt(sigma)[:, None]
+    a = (data.ys.T @ psi_c).T                                  # (q, n)
+
+    D = data.diag_D
+    lam = jnp.broadcast_to((1.0 / D)[:, None], a.shape)        # (q, n)
+    core = _fitc_core(data.xs, z, lLmb, lLmb0, lnug, lam,
+                      compute_dtype=compute_dtype, kernel=kernel)
+    _, quad, ld = _fitc_terms(core, lam, a)
+    # logdet(I + D C_hat) = n log D + logdet(C_hat + (1/D) I)
+    terms = 0.5 * (n * jnp.log(D.astype(ld.dtype)) + ld) - 0.5 * quad
+
+    nlp = jnp.sum(terms).astype(data.ys.dtype)
+    nlp += 0.5 * n * jnp.sum(lsig)
+    nlp += 0.5 * jnp.sum(jnp.square(data.ys / jnp.sqrt(sigma)[:, None]))
+    return nlp
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "kernel"))
+def neglpost_rep_fitc(free: P.FreeParams, data: RepData, z,
+                      compute_dtype=None, kernel: str = "matern32"):
+    """FITC approximation of the replication loss (likelihood.neglpost_rep
+    semantics, reference lcgp.py:554-630) at O(q n m^2)."""
+    lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
+    lsig = P.expand_sigma(lsig_g, data.sigma_map)
+    sigma_raw = jnp.exp(lsig)
+    n = data.xs.shape[0]
+    p = data.ybar.shape[0]
+    r = data.r
+
+    sigma_var_used = sigma_raw / jnp.square(data.scale)
+    sigma_inv_sqrt = data.scale / jnp.sqrt(sigma_raw)
+
+    nlp = 0.5 * jnp.sum(r * jnp.sum(
+        jnp.square(data.ybar * sigma_inv_sqrt[:, None]), axis=0))
+    nlp += 0.5 * n * jnp.sum(jnp.log(sigma_var_used))
+    nlp += -0.5 * p * jnp.sum(jnp.log(r))
+
+    v = data.phi * sigma_inv_sqrt[:, None]
+    b = r[None, :] * (data.ybar.T @ v).T                       # (q, n)
+
+    D = data.diag_D
+    lam = 1.0 / (D[:, None] * r[None, :])                      # (q, n)
+    core = _fitc_core(data.xs, z, lLmb, lLmb0, lnug, lam,
+                      compute_dtype=compute_dtype, kernel=kernel)
+    _, quad, ld = _fitc_terms(core, lam, b)
+    # logdet A = sum_i log(D r_i) + logdet(C_hat + Lam)
+    terms = 0.5 * (jnp.sum(jnp.log(D[:, None] * r[None, :]), axis=-1)
+                   .astype(ld.dtype) + ld) - 0.5 * quad
+    nlp += jnp.sum(terms).astype(nlp.dtype)
+    return nlp / n
+
+
+class FitcAux(NamedTuple):
+    """Predictive state: dual weights in inducing space + variance kernel."""
+    Lmm: jnp.ndarray      # (q, m, m)
+    alpha: jnp.ndarray    # (q, m)  W^T u  (mean: ghat = W0 alpha)
+    inner: jnp.ndarray    # (q, m, m) G M^{-1} (variance reduction kernel)
+    u: jnp.ndarray        # (q, n) dual weights (diagnostic)
+
+
+@partial(jax.jit, static_argnames=("mode", "compute_dtype", "kernel"))
+def compute_aux_fitc(free: P.FreeParams, data, z, mode: str,
+                     compute_dtype=None, kernel: str = "matern32") -> FitcAux:
+    lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
+    lsig = P.expand_sigma(lsig_g, data.sigma_map)
+    sigma_raw = jnp.exp(lsig)
+    D = data.diag_D
+
+    if mode == 'rep':
+        sigma_inv_sqrt = data.scale / jnp.sqrt(sigma_raw)
+        v = data.phi * sigma_inv_sqrt[:, None]
+        b = data.r[None, :] * (data.ybar.T @ v).T
+        lam = 1.0 / (D[:, None] * data.r[None, :])
+    else:
+        psi_c = data.phi / jnp.sqrt(sigma_raw)[:, None]
+        b = (data.ys.T @ psi_c).T
+        lam = jnp.broadcast_to((1.0 / D)[:, None], b.shape)
+
+    core = _fitc_core(data.xs, z, lLmb, lLmb0, lnug, lam,
+                      compute_dtype=compute_dtype, kernel=kernel)
+    u = _fitc_solve(core, lam.astype(core.W.dtype) * b.astype(core.W.dtype))
+    alpha = jnp.einsum('qnm,qn->qm', core.W, u)
+    # G = W^T Lam~^{-1} W = M - I; the variance reduction kernel is
+    # G - G M^{-1} G = G M^{-1} (M = I + G commutes with G), symmetric PSD
+    Minv = linalg.chol_inverse(core.LM)
+    G = jnp.einsum('qnm,qn,qnk->qmk', core.W, 1.0 / core.lam_t, core.W)
+    inner = G @ Minv
+    inner = 0.5 * (inner + jnp.swapaxes(inner, -1, -2))
+    return FitcAux(Lmm=core.Lmm, alpha=alpha, inner=inner, u=u)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "kernel"))
+def predict_fitc_core(free: P.FreeParams, data, aux: FitcAux, z, x0s,
+                      compute_dtype=None, kernel: str = "matern32"):
+    """Latent predictive mean/var at x0s — O(n0 m) mean, O(n0 m^2) var."""
+    lLmb, lLmb0, _, lnug = P.constrain(free)
+    c00 = matern32_diag(x0s, lLmb0)                            # (q, n0)
+    K0m = gram_stack(x0s, z, lLmb, lLmb0, lnug, same=False,
+                     compute_dtype=compute_dtype, kind=kernel)  # (q, n0, m)
+    W0 = jnp.swapaxes(
+        linalg.solve_tri_lower(aux.Lmm, jnp.swapaxes(K0m, -1, -2)), -1, -2)
+    ghat = jnp.einsum('qam,qm->qa', W0, aux.alpha)
+    red = jnp.einsum('qam,qmk,qak->qa', W0, aux.inner, W0)
+    gvar = c00.astype(red.dtype) - red
+    return ghat, jnp.maximum(gvar, 0.0)

@@ -1,0 +1,125 @@
+"""FITC/Nystrom inducing-point path (models/sparse.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lcgp_tpu import LCGP, datasets
+from lcgp_tpu.models import basis as basis_mod
+from lcgp_tpu.models import likelihood as lik
+from lcgp_tpu.models import params as P
+from lcgp_tpu.models import sparse
+
+
+def _full_problem(q=3, p=6, n=40, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = rng.uniform(0, 1, (n, d))
+    ys = rng.standard_normal((p, n))
+    ys = (ys - ys.mean(1, keepdims=True)) / ys.std(1, keepdims=True)
+    b = basis_mod.init_phi(ys, q=q)
+    data = lik.FullData(xs=jnp.asarray(xs), ys=jnp.asarray(ys),
+                        phi=jnp.asarray(b.phi), diag_D=jnp.asarray(b.diag_D),
+                        sigma_map=jnp.asarray(P.sigma_index_map([1] * p)))
+    free = P.init_values(xs, ys, b.q, [1] * p)
+    return data, free
+
+
+class TestSelectInducing:
+    def test_farthest_point_coverage(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (200, 2))
+        z = sparse.select_inducing(x, 20)
+        assert z.shape == (20, 2)
+        # every point is within a modest distance of some inducing point
+        d = np.min(np.linalg.norm(x[:, None] - z[None], axis=-1), axis=1)
+        assert d.max() < 0.35
+
+    def test_m_ge_n_returns_all(self):
+        x = np.random.default_rng(1).uniform(0, 1, (5, 2))
+        z = sparse.select_inducing(x, 10)
+        assert z.shape == (5, 2)
+
+
+class TestFitcLoss:
+    def test_full_exact_when_z_is_x(self):
+        """With Z = X the Nystrom term is exact and the diagonal correction
+        vanishes, so the FITC loss equals the exact loss."""
+        data, free = _full_problem()
+        exact = float(lik.neglpost_full(free, data))
+        fitc = float(sparse.neglpost_full_fitc(free, data, data.xs))
+        np.testing.assert_allclose(fitc, exact, rtol=1e-6)
+
+    def test_rep_exact_when_z_is_x(self):
+        xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=3)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        exact = float(m.loss())
+        fitc = float(sparse.neglpost_rep_fitc(m._free, m._data, m._data.xs))
+        np.testing.assert_allclose(fitc, exact, rtol=1e-6)
+
+    def test_full_approx_close_with_subset(self):
+        data, free = _full_problem(n=60, seed=2)
+        exact = float(lik.neglpost_full(free, data))
+        z = sparse.select_inducing(np.asarray(data.xs), 30)
+        fitc = float(sparse.neglpost_full_fitc(free, data, jnp.asarray(z)))
+        # approximation, not identity — but should be in the same ballpark
+        assert abs(fitc - exact) / abs(exact) < 0.2
+
+    def test_gradient_finite(self):
+        data, free = _full_problem(n=50, seed=4)
+        z = jnp.asarray(sparse.select_inducing(np.asarray(data.xs), 20))
+        g = jax.grad(lambda fr: sparse.neglpost_full_fitc(fr, data, z))(free)
+        for leaf in jax.tree.leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestFitcModel:
+    def _fit_pair(self, seed=5):
+        xtr, ytr, xte, ytrue = datasets.make_rep_data_skewed(seed=seed)
+        exact = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        fitc = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=20)
+        return exact, fitc, xte, ytrue
+
+    def test_fit_predict_quality(self):
+        from lcgp_tpu import evaluation
+        exact, fitc, xte, ytrue = self._fit_pair()
+        exact.fit(method='scipy', maxiter=150)
+        fitc.fit(method='scipy', maxiter=150)
+        yp_e = np.asarray(exact.predict(xte)[0])
+        yp_f, ypv_f, ycv_f = map(np.asarray, fitc.predict(xte))
+        rmse_e = evaluation.rmse(ytrue, yp_e)
+        rmse_f = evaluation.rmse(ytrue, yp_f)
+        # documented tradeoff: close to exact quality at m=20 of n=40
+        assert rmse_f < max(2.5 * rmse_e, 0.06)
+        assert (ypv_f > 0).all()
+        assert (ycv_f <= ypv_f + 1e-12).all()
+
+    def test_loss_decreases_after_fit(self):
+        _, fitc, _, _ = self._fit_pair(seed=6)
+        l0 = float(fitc.loss())
+        fitc.fit(method='scipy', maxiter=100)
+        assert float(fitc.loss()) < l0
+
+    def test_inducing_array_and_saveload(self, tmp_path):
+        xtr, ytr, xte, _ = datasets.make_rep_data_skewed(seed=7)
+        zx = np.linspace(0.05, 0.95, 15)[:, None]
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=zx)
+        assert m._z.shape == (15, 1)
+        m.fit(method='scipy', maxiter=30)
+        yp = np.asarray(m.predict(xte)[0])
+        path = tmp_path / 'fitc.npz'
+        m.save(path)
+        m2 = LCGP.load(path)
+        np.testing.assert_allclose(np.asarray(m2.predict(xte)[0]), yp,
+                                   rtol=1e-12)
+
+    def test_inducing_too_large_raises(self):
+        xtr, ytr, _, _ = datasets.make_rep_data_1d(n_unique=8, seed=8)
+        with pytest.raises(ValueError):
+            LCGP(y=ytr, x=xtr, submethod='rep', inducing=1000)
+
+    def test_aux_properties_none_or_dual(self):
+        xtr, ytr, xte, _ = datasets.make_rep_data_skewed(seed=9)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=15)
+        assert m.Tks is None and m.LTs is None and m.mks is None
+        assert m.CinvMs.shape == (m.q, m.n)
