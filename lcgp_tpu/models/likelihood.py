@@ -58,9 +58,11 @@ def _map_components(body, stacks, q_chunk):
 
     q_chunk=None runs one fused batch (fastest when the (q,n,n) stacks fit
     in HBM).  Otherwise the stacks are reshaped to (q/q_chunk, q_chunk, ...)
-    and body is lax.map'ed with rematerialization — backward recomputes each
-    chunk's Gram/Cholesky instead of keeping all q of them resident, so peak
-    memory scales with q_chunk at ~2x factorization FLOPs.
+    and body is lax.map'ed chunk by chunk, bounding the per-chunk transients
+    (Gram, B, inverse, cotangent) to q_chunk stacks.  The bodies are
+    custom-VJP terms whose saved residuals are just the Cholesky factor and
+    one solve vector, so no rematerialization wrapper is needed — the
+    backward never recomputes the Gram build or the factorization.
     """
     if q_chunk is None:
         return body(stacks)
@@ -69,7 +71,7 @@ def _map_components(body, stacks, q_chunk):
         raise ValueError(f'q_chunk={q_chunk} must divide q={q}')
     chunked = jax.tree_util.tree_map(
         lambda x: x.reshape((q // q_chunk, q_chunk) + x.shape[1:]), stacks)
-    out = jax.lax.map(jax.checkpoint(body), chunked)
+    out = jax.lax.map(body, chunked)
     return jax.tree_util.tree_map(
         lambda x: x.reshape((q,) + x.shape[2:]), out)
 
@@ -129,11 +131,9 @@ def _full_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
 
 def _full_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
     xs, lLmb, lLmb0, lnug, D, a, LB, w = res
-    n = LB.shape[-1]
     dt = LB.dtype
     Dm = D.astype(dt)
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), LB.shape)
-    Binv = linalg.cho_solve(LB, eye)
+    Binv = linalg.chol_inverse(LB)
     tb = tbar.astype(dt)
     Cbar = tb[:, None, None] * (0.5 * Dm[:, None, None] * Binv
                                 - 0.5 * w[:, :, None] * w[:, None, :])
@@ -184,10 +184,8 @@ def _rep_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
 
 def _rep_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
     xs, sr, lLmb, lLmb0, lnug, D, b, LT, u, Cu = res
-    n = LT.shape[-1]
     dt = LT.dtype
-    eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), LT.shape)
-    Tinv = linalg.cho_solve(LT, eye)                     # (C + Lam)^{-1}
+    Tinv = linalg.chol_inverse(LT)                       # (C + Lam)^{-1}
     tb = tbar.astype(dt)
     Cbar = tb[:, None, None] * (0.5 * Tinv
                                 - 0.5 * u[:, :, None] * u[:, None, :])

@@ -52,6 +52,20 @@ def cho_solve_vec(chols, vecs):
     return cho_solve(chols, vecs[..., :, None])[..., :, 0]
 
 
+def chol_inverse(chols):
+    """(L L^T)^{-1} as Linv^T Linv with Linv = L^{-1} (LAPACK potri shape).
+
+    One triangular solve + one (MXU) symmetric matmul instead of the two
+    chained triangular solves of ``cho_solve(L, I)`` — measured 1.5x faster
+    on TPU in emulated f64 at n=4096, where the GEMM runs at ~1.4 TFLOP/s
+    but triangular solves crawl.
+    """
+    n = chols.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=chols.dtype), chols.shape)
+    linv = solve_tri_lower(chols, eye)
+    return jnp.einsum('...kn,...km->...nm', linv, linv)
+
+
 def quad_chol(chols, vecs):
     """v^T (L L^T)^{-1} v, batched; v (..., n)."""
     z = solve_tri_lower(chols, vecs[..., :, None])[..., :, 0]
