@@ -206,3 +206,34 @@ class TestCustomVJP:
         for c, aa in zip(gc, ga):
             np.testing.assert_allclose(np.asarray(c), np.asarray(aa),
                                        rtol=1e-7, atol=1e-10)
+
+
+class TestBlockedTriInverse:
+    def test_blocked_path_matches_xla(self):
+        """n=1024 f64 triggers the blocked algorithm; values must agree
+        with the plain triangular solve to fp accumulation tolerance."""
+        import jax.numpy as jnp
+        from jax import lax
+        from lcgp_tpu.ops import linalg
+        rng = np.random.default_rng(0)
+        n = 1024
+        A = rng.standard_normal((2, n, 32))
+        B = jnp.asarray(A @ np.swapaxes(A, -1, -2) + 5.0 * np.eye(n))
+        L = jnp.linalg.cholesky(B)
+        Xb = np.asarray(linalg.tri_inverse_lower(L))
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), L.shape)
+        Xr = np.asarray(lax.linalg.triangular_solve(
+            L, eye, left_side=True, lower=True))
+        np.testing.assert_allclose(Xb, Xr, rtol=1e-9, atol=1e-11)
+
+    def test_small_and_odd_sizes_fall_back(self):
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg
+        rng = np.random.default_rng(1)
+        for n in (40, 700):
+            A = rng.standard_normal((1, n, 16))
+            B = jnp.asarray(A @ np.swapaxes(A, -1, -2) + 3.0 * np.eye(n))
+            L = jnp.linalg.cholesky(B)
+            Binv = np.asarray(linalg.chol_inverse(L))
+            np.testing.assert_allclose(Binv, np.linalg.inv(np.asarray(B)),
+                                       rtol=1e-8, atol=1e-10)
