@@ -109,8 +109,17 @@ def main():
                                          jitter=1e-6, q_chunk=qc))(fr)),
         free, data, chunks=(10, 5))  # un-chunked f32 exceeds HBM (measured)
 
+    # mixed: f64 data/Gram/reductions, f32-seeded refined factorizations
+    # (f64-grade results in the validated conditioning regime, RESULTS.md)
+    secs_mx, chunk_mx = _time_with_fallback(
+        lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
+            lambda f_: lik.neglpost_full(f_, d, compute_dtype='mixed',
+                                         q_chunk=qc))(fr)),
+        free, data, chunks=(5, 2))
+
     evals64 = 1.0 / secs64
     evals32 = 1.0 / secs32
+    evals_mx = 1.0 / secs_mx
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              'benchmarks', 'bench_baseline.json')
@@ -133,6 +142,8 @@ def main():
         'secs_per_eval_f64': round(secs64, 4),
         'evals_per_sec_f32': round(evals32, 4),
         'vs_baseline_f32': round(vs32, 2) if vs32 else None,
+        'evals_per_sec_mixed': round(evals_mx, 4),
+        'vs_baseline_mixed': round(evals_mx / base_evals, 2) if base_evals else None,
         'baseline_cpu_evals_per_sec': base_evals,
         'q_chunk_f64': chunk64,
         'q_chunk_f32': chunk32,

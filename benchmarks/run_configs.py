@@ -8,7 +8,7 @@ fit time + accuracy/UQ metrics as JSON lines.
   5. Replication-heavy: 10k sims with ~10x replicates + full predictive UQ
 
 Usage: python benchmarks/run_configs.py [--cpu] [--configs 1,2,3]
-       [--method scipy|adam|lbfgs-jax] [--precision high|fast]
+       [--method auto|scipy|adam|lbfgs-jax] [--precision high|mixed|fast]
 """
 from __future__ import annotations
 
@@ -94,7 +94,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--configs', default='1,2,3,4,5')
-    ap.add_argument('--method', default='scipy')
+    ap.add_argument('--method', default='auto')
     ap.add_argument('--precision', default='high')
     ap.add_argument('--maxiter', type=int, default=None)
     args = ap.parse_args()

@@ -9,6 +9,11 @@ Precision modes
 ---------------
 ``'high'``  : float64 end-to-end (parity with the reference; TPU f64 is
               software-emulated but still far faster than the CPU baseline).
+``'mixed'`` : f64 data/Gram/reductions with mixed-precision factorizations
+              (f32 Cholesky + f64-GEMM Newton refinement, ops/mixed.py) —
+              ~3.4x faster factor at n=4096 with ~1e-8 logdet error in the
+              moderate-conditioning regime.  Validated vs the f64 oracle;
+              see RESULTS.md.
 ``'fast'``  : float32 Gram construction + factorizations with a jitter
               floor — the large-n speed path on the MXU.
 """
@@ -25,6 +30,9 @@ if not os.environ.get("LCGP_TPU_NO_X64"):
 
 _PRECISION_DTYPES = {
     "high": jnp.float64,
+    # sentinel string threaded through the static compute_dtype arg; the
+    # Gram builds treat it as f64, the factorizations switch to ops/mixed
+    "mixed": "mixed",
     "fast": jnp.float32,
 }
 
@@ -33,6 +41,8 @@ _PRECISION_DTYPES = {
 # nothing, and parity demands the same conditioning behavior.
 _PRECISION_JITTER = {
     "high": 0.0,
+    "mixed": 0.0,   # semantics match 'high'; the f32 *seed* factor may use
+                    # an internal jitter that refinement removes
     "fast": 1e-6,
 }
 

@@ -18,7 +18,21 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import linalg
-from ..ops.gram import gram_stack, gram_vjp
+from ..ops import mixed as mixed_ops
+from ..ops.gram import gram_factor_target, gram_vjp
+
+
+def _factor(B, compute_dtype):
+    """Cholesky of the factorization target, honoring precision='mixed'."""
+    if compute_dtype == "mixed":
+        return mixed_ops.cholesky_mixed(B, refine_steps=2, seed_jitter=1e-6)
+    return linalg.cholesky(B)
+
+
+def _factor_solve_vec(L, B, v, compute_dtype):
+    if compute_dtype == "mixed":
+        return mixed_ops.cho_solve_vec_refined(L, B, v, refine_steps=2)
+    return linalg.cho_solve_vec(L, v)
 from . import params as P
 
 
@@ -112,13 +126,22 @@ def _full_terms(compute_dtype, jitter, kernel, xs, lLmb, lLmb0, lnug, D, a):
 
 def _full_terms_fwd_impl(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
                          lnug, D, a):
-    C = gram_stack(xs, xs, lLmb, lLmb0, lnug, same=True,
-                   compute_dtype=compute_dtype, kind=kernel)
-    B = linalg.add_diag(D[:, None, None].astype(C.dtype) * C, 1.0 + jitter)
-    LB = linalg.cholesky(B)
-    w = linalg.cho_solve_vec(LB, a.astype(LB.dtype))
-    Ca = _bmv(C, a.astype(C.dtype))
-    quad = jnp.sum(Ca.astype(LB.dtype) * w, axis=-1)
+    # Build the factorization target B = D C + (1+jitter) I directly (fused
+    # Pallas epilogue on the f32 TPU path); C itself is never materialized —
+    # the quad term uses the exact identity C w = (a - (1+jitter) w) / D
+    # from B w = a.
+    n = xs.shape[0]
+    dt = jnp.asarray(xs).dtype if compute_dtype in (None, "mixed") else \
+        jnp.dtype(compute_dtype)
+    diag_vec = jnp.full((D.shape[0], n), 1.0 + jitter, dtype=dt)
+    B = gram_factor_target(xs, lLmb, lLmb0, lnug, row_scale=D,
+                           diag_vec=diag_vec, compute_dtype=compute_dtype,
+                           kind=kernel)
+    LB = _factor(B, compute_dtype)
+    w = _factor_solve_vec(LB, B, a.astype(LB.dtype), compute_dtype)
+    Dm = D.astype(LB.dtype)
+    Cw = (a.astype(LB.dtype) - (1.0 + jitter) * w) / Dm[:, None]
+    quad = jnp.sum(a.astype(LB.dtype) * Cw, axis=-1)
     terms = 0.5 * linalg.chol_logdet(LB) - 0.5 * quad
     return terms, (xs, lLmb, lLmb0, lnug, D, a, LB, w)
 
@@ -159,17 +182,23 @@ def _rep_terms(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0, lnug, D, b):
 
 def _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
                         lnug, D, b):
-    C = gram_stack(xs, xs, lLmb, lLmb0, lnug, same=True,
-                   compute_dtype=compute_dtype, kind=kernel)
-    dt = C.dtype
+    dt = jnp.asarray(xs).dtype if compute_dtype in (None, "mixed") else \
+        jnp.dtype(compute_dtype)
     Dc = D.astype(dt)
     r2 = jnp.square(sr.astype(dt))                          # r
     lam = 1.0 / (Dc[:, None] * r2[None, :])                 # (q, n)
     # jitter scaled by the amplitude so the f32 path stays factorizable
     jit_d = jitter * (1.0 + lLmb0.astype(dt)[:, None])
-    LT = linalg.cholesky(linalg.add_diag(C, lam + jit_d))
-    u = linalg.cho_solve_vec(LT, (lam * b.astype(dt)))      # T Lam b
-    Cu = _bmv(C, u)                                         # S b
+    diag_vec = lam + jnp.broadcast_to(jit_d, lam.shape)
+    # A = C + diag(lam + jit) built directly (fused Pallas epilogue on the
+    # f32 TPU path); C u recovers via C u = lam b - (lam + jit) u from A u.
+    ones = jnp.ones_like(Dc)
+    A = gram_factor_target(xs, lLmb, lLmb0, lnug, row_scale=ones,
+                           diag_vec=diag_vec, compute_dtype=compute_dtype,
+                           kind=kernel)
+    LT = _factor(A, compute_dtype)
+    u = _factor_solve_vec(LT, A, lam * b.astype(dt), compute_dtype)
+    Cu = lam * b.astype(dt) - diag_vec * u                  # S b
     logdetA = (jnp.sum(jnp.log(Dc[:, None] * r2[None, :]), axis=-1)
                + linalg.chol_logdet(LT))
     terms = -0.5 * jnp.sum(b.astype(dt) * Cu, axis=-1) + 0.5 * logdetA

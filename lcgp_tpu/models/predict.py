@@ -27,7 +27,7 @@ from ..ops import linalg
 from ..ops.gram import gram_stack
 from ..ops.matern import matern32_diag
 from . import params as P
-from .likelihood import FullData, RepData, _bmv
+from .likelihood import FullData, RepData, _bmv, _factor, _factor_solve_vec
 
 
 class FullAux(NamedTuple):
@@ -56,10 +56,11 @@ def compute_aux_full(free: P.FreeParams, data: FullData,
     B = (data.ys.T / jnp.sqrt(sigma)[None, :]) @ data.phi      # (n, q)
     C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
                    compute_dtype=compute_dtype, kind=kernel)
-    LB = linalg.cholesky(
-        linalg.add_diag(data.diag_D[:, None, None].astype(C.dtype) * C,
-                        1.0 + jitter))
-    CinvM = linalg.cho_solve_vec(LB, B.T.astype(LB.dtype))      # (q, n)
+    Bmat = linalg.add_diag(data.diag_D[:, None, None].astype(C.dtype) * C,
+                           1.0 + jitter)
+    LB = _factor(Bmat, compute_dtype)
+    CinvM = _factor_solve_vec(LB, Bmat, B.T.astype(LB.dtype),
+                              compute_dtype)                    # (q, n)
     return FullAux(CinvM=CinvM, LB=LB)
 
 
@@ -150,9 +151,11 @@ def compute_aux_rep(free: P.FreeParams, data: RepData,
     # were optimized against.
     lam = 1.0 / (D[:, None] * r[None, :])                       # (q, n)
     jit_d = jitter * (1.0 + lLmb0.astype(C.dtype)[:, None])
-    LT = linalg.cholesky(linalg.add_diag(C, lam + jit_d))
+    A = linalg.add_diag(C, lam + jit_d)
+    LT = _factor(A, compute_dtype)
 
-    CinvM = linalg.cho_solve_vec(LT, (lam * b).astype(LT.dtype))
+    CinvM = _factor_solve_vec(LT, A, (lam * b).astype(LT.dtype),
+                              compute_dtype)
 
     # training-point latent means m = S b = C @ CinvM (diagnostic,
     # reference lcgp.py:779)

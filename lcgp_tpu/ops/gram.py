@@ -1,44 +1,31 @@
-"""Gram-stack dispatch: Pallas TPU kernel when it applies, jnp otherwise.
+"""Gram-stack construction and its analytic VJP.
 
-The Pallas path (``matern_pallas``) builds the (q,n1,n2) stack in one pass
-through VMEM — the d-dimensional outer-difference accumulation, exp, nugget,
-and amplitude all fused — and only supports float32 on real TPUs.  Every
-other case (float64, CPU, tiny shapes where launch overhead dominates) falls
-back to the jnp implementation, which XLA fuses adequately.
+All paths are jnp: XLA's elementwise fusion of the batched Matérn build
+is at parity with a hand-written Pallas kernel on TPU, so no custom
+kernel ships.  The decision trail (round 1-2, v5e, headline config
+n=4096/p=1000/q=20/d=8, f32):
+
+- round 1 kernel: 18.1 ms vs 10.4 ms jnp for the forward stack (the
+  kernel wasted ~35% compute on q-block padding, q=20 -> 27);
+- round 2: padding fixed (exact-divisor q-blocks) and the factorization
+  target B = scale*C + diag(v) fused into the kernel epilogue — and the
+  *end-to-end loss eval still tied XLA exactly* (264.2 ms jnp vs 265.0 ms
+  Pallas, identical loss/grad), because the Gram is <10% of an eval and
+  XLA already fuses the d-loop, exp, and diagonal epilogue into one pass.
+
+Per that measurement the kernel was deleted (it also had an unresolved
+v5e worker crash in the rectangular cross-Gram mode).  What survives is
+the *algebraic* fusion it motivated: `gram_factor_target` builds the
+factorization target directly, and the loss forwards recover C-products
+from solve identities, so C is never materialized separately from B.
+The hot ops on TPU are the batched factorizations (ops/linalg,
+ops/mixed), not the Gram build.
 """
 from __future__ import annotations
 
-import os
-
-import jax
 import jax.numpy as jnp
 
 from .matern import matern32_gram
-
-# Pallas pays off once the tile grid is non-trivial.
-_PALLAS_MIN_N = 256
-
-
-def _pallas_applicable(x1, x2, dtype, same: bool) -> bool:
-    # Opt-in (LCGP_TPU_PALLAS=1): measured end-to-end at the headline
-    # config, XLA's elementwise fusion of the jnp Gram is currently ~12%
-    # faster than the Pallas kernel pair; the kernel is kept (correct and
-    # TPU-verified) for its fused backward and further tuning.
-    if not os.environ.get("LCGP_TPU_PALLAS"):
-        return False
-    if os.environ.get("LCGP_TPU_DISABLE_PALLAS"):
-        return False
-    if dtype != jnp.float32:
-        return False
-    if jax.default_backend() in ("cpu",):
-        return False
-    # Restricted to the square training Grams: the rectangular predict-time
-    # cross-gram is a small fraction of the work, and the Pallas cross case
-    # embedded in the larger predict program has crashed the v5e worker
-    # (standalone it passes — under investigation); jnp/XLA handles it.
-    if not same:
-        return False
-    return x1.shape[0] >= _PALLAS_MIN_N and x2.shape[0] >= _PALLAS_MIN_N
 
 
 def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
@@ -47,8 +34,12 @@ def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
 
     kind='matern32' (the reference's kernel, default) or 'rbf' (separable
     squared-exponential extra).  compute_dtype=None keeps the input dtype
-    (float64 parity path); jnp.float32 selects the fast MXU/Pallas path.
+    (float64 parity path); jnp.float32 selects the fast MXU path; the
+    'mixed' sentinel builds in f64 (factorizations downstream switch to
+    ops/mixed).
     """
+    if compute_dtype == "mixed":
+        compute_dtype = None
     if compute_dtype is not None:
         dt = jnp.dtype(compute_dtype)
         x1 = jnp.asarray(x1, dtype=dt)
@@ -56,8 +47,6 @@ def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
         lengthscales = jnp.asarray(lengthscales, dtype=dt)
         amplitudes = jnp.asarray(amplitudes, dtype=dt)
         nuggets = jnp.asarray(nuggets, dtype=dt)
-    else:
-        dt = jnp.asarray(x1).dtype
 
     if kind == 'rbf':
         # SE factors through a batched MXU matmul; XLA is already optimal
@@ -65,22 +54,33 @@ def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
         return rbf_gram(x1, x2, lengthscales, amplitudes, nuggets, same=same)
     if kind != 'matern32':
         raise ValueError(f"unknown kernel kind {kind!r}")
-
-    if _pallas_applicable(jnp.asarray(x1), jnp.asarray(x2), dt, same):
-        from .matern_pallas import matern32_gram_pallas
-        # `same` positional: custom_vjp nondiff argument
-        return matern32_gram_pallas(x1, x2, lengthscales, amplitudes, nuggets,
-                                    same)
     return matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, same=same)
+
+
+def gram_factor_target(x, lengthscales, amplitudes, nuggets, *, row_scale,
+                       diag_vec, compute_dtype=None, kind: str = 'matern32'):
+    """Factorization target B = row_scale_k * C_k(x, x) + diag(diag_vec_k).
+
+    row_scale (q,), diag_vec (q, n).  XLA fuses the scale/diag epilogue
+    into the Gram build (verified at parity with an explicit Pallas
+    fusion — see module docstring).
+    """
+    if compute_dtype == "mixed":
+        compute_dtype = None
+    from . import linalg
+    C = gram_stack(x, x, lengthscales, amplitudes, nuggets, same=True,
+                   compute_dtype=compute_dtype, kind=kind)
+    return linalg.add_diag(
+        jnp.asarray(row_scale, dtype=C.dtype)[:, None, None] * C,
+        jnp.asarray(diag_vec, dtype=C.dtype))
 
 
 def gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
              cbar, kind: str = 'matern32'):
     """Analytic (glens, gamp, gnug) for a Gram-stack cotangent ``cbar``.
 
-    Used by the custom-VJP loss paths; dispatches to the Pallas backward
-    kernel when the forward would have used Pallas, else the jnp analytic
-    form.  x carries no gradient (it is data).
+    Used by the custom-VJP loss paths; one (n1,n2) temporary per d-step
+    instead of autodiff's residual chain.  x carries no gradient (data).
     """
     if kind == 'rbf':
         from .rbf import rbf_gram_vjp
@@ -88,11 +88,6 @@ def gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
                             same=same, cbar=cbar)
     if kind != 'matern32':
         raise ValueError(f"unknown kernel kind {kind!r}")
-    if _pallas_applicable(jnp.asarray(x1), jnp.asarray(x2),
-                          jnp.asarray(cbar).dtype, same):
-        from .matern_pallas import _bwd_call
-        return _bwd_call(x1, x2, lengthscales, amplitudes, nuggets, same,
-                         cbar)
     from .matern import matern32_gram_vjp
     return matern32_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets,
                              same=same, cbar=cbar)
