@@ -1,0 +1,83 @@
+"""Validate precision='mixed' against the f64 path on the BASELINE configs.
+
+For each config: build the model in 'high' (f64) and 'mixed', then compare
+  - loss at the data-driven init,
+  - loss gradient at init (max relative error over parameter leaves),
+  - loss and predictions at the *fitted* hyperparameters (fit the f64
+    model, copy its parameters into the mixed model) — the fitted regime
+    is where the factor-target conditioning is worst, so this is the
+    stress test of the refinement.
+
+Usage: python benchmarks/validate_mixed.py [--cpu] [--configs 1,2,5]
+       [--maxiter 150]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def _rel(a, b):
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    denom = np.maximum(np.abs(a), 1e-12)
+    return float(np.max(np.abs(a - b) / denom))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--cpu', action='store_true')
+    ap.add_argument('--configs', default='1,2,3,4,5')
+    ap.add_argument('--maxiter', type=int, default=150)
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+
+    import jax
+    from lcgp_tpu import LCGP
+    from run_configs import CONFIGS
+
+    for idx in [int(s) for s in args.configs.split(',')]:
+        cfg = CONFIGS[idx]()
+        hi = LCGP(y=cfg['y'], x=cfg['x'], precision='high', **cfg['kwargs'])
+        mx = LCGP(y=cfg['y'], x=cfg['x'], precision='mixed', **cfg['kwargs'])
+
+        loss_hi0, loss_mx0 = float(hi.loss()), float(mx.loss())
+
+        g_hi = jax.grad(hi._loss_fn())(hi._free)
+        g_mx = jax.grad(mx._loss_fn())(mx._free)
+        grad_rel = max(_rel(a, b) for a, b in
+                       zip(jax.tree.leaves(g_hi), jax.tree.leaves(g_mx)))
+
+        fit_kwargs = {}
+        if hi.n < hi._AUTO_ONDEVICE_N:
+            fit_kwargs['maxiter'] = args.maxiter
+        hi.fit(**fit_kwargs)
+        mx._free = hi._free
+        mx._params_version += 1
+
+        loss_hi1, loss_mx1 = float(hi.loss()), float(mx.loss())
+        yp_hi, ypv_hi, _ = map(np.asarray, hi.predict(cfg['xte']))
+        yp_mx, ypv_mx, _ = map(np.asarray, mx.predict(cfg['xte']))
+
+        amp = np.asarray(hi.lLmb0)
+        print(json.dumps(dict(
+            config=cfg['name'],
+            loss_rel_init=_rel(loss_hi0, loss_mx0),
+            grad_rel_init=grad_rel,
+            loss_rel_fitted=_rel(loss_hi1, loss_mx1),
+            pred_mean_rel_fitted=_rel(yp_hi, yp_mx),
+            pred_var_rel_fitted=_rel(ypv_hi, ypv_mx),
+            fitted_amp_max=float(amp.max()),
+        )), flush=True)
+
+
+if __name__ == '__main__':
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
