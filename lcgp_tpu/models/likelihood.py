@@ -112,8 +112,7 @@ def _map_components(body, stacks, q_chunk):
 #          Cholesky between the loss and the predict path.
 #
 # The Gram cotangent then chains through the analytic kernel VJP
-# (ops.gram.gram_vjp — Pallas backward on the f32 TPU path).  Peak backward
-# memory: ~4 stacks instead of ~15-20.
+# (ops.gram.gram_vjp).  Peak backward memory: ~4 stacks instead of ~15-20.
 # ---------------------------------------------------------------------------
 
 
