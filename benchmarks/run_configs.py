@@ -129,7 +129,7 @@ def main():
         build_s = time.time() - t0
 
         fit_kwargs = {}
-        if args.maxiter and args.method == 'scipy':
+        if args.maxiter:
             fit_kwargs['maxiter'] = args.maxiter
         t0 = time.time()
         model.fit(method=args.method, **fit_kwargs)

@@ -67,7 +67,7 @@ def tri_inverse_lower(chols):
     """
     n = chols.shape[-1]
     nb = _TRI_INV_BLOCK
-    if n % nb or n // nb < 2 or chols.dtype != jnp.float64:
+    if n % nb or n // nb < 2:
         eye = jnp.broadcast_to(jnp.eye(n, dtype=chols.dtype), chols.shape)
         return solve_tri_lower(chols, eye)
     nd = n // nb
