@@ -35,7 +35,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import params as Pm
-from ..models.likelihood import FullData
+from ..models.likelihood import FullData, RepData
 from ..ops.gram import gram_stack
 
 AXIS = 'n'
@@ -254,12 +254,103 @@ def neglpost_full_nsharded(free: Pm.FreeParams, data: FullData, mesh: Mesh,
     return nlp
 
 
-def make_nsharded_value_and_grad(mesh: Mesh, data: FullData,
+def _nshard_rep_local(xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0, lnug,
+                      *, ndev, kernel, compute_dtype):
+    """Rep-path per-device body: my rows of A = C + diag(lam + jit),
+    distributed factor/solve, per-component partial terms."""
+    nb = xblk.shape[0]
+    n = nb * ndev
+    idx = lax.axis_index(AXIS)
+
+    x_full = lax.all_gather(xblk, AXIS).reshape(n, xblk.shape[1])
+    m_full = lax.all_gather(mblk, AXIS).reshape(n)
+
+    C = gram_stack(xblk, x_full, lLmb, lLmb0, lnug, same=False,
+                   compute_dtype=compute_dtype, kind=kernel)  # (q, nb, n)
+    rows_global = idx * nb + jnp.arange(nb)
+    eye_blk = (jnp.arange(n)[None, :] == rows_global[:, None]).astype(C.dtype)
+    eta = (lnug / (1.0 + lnug)).astype(C.dtype)
+    amp = lLmb0.astype(C.dtype)
+    C = C + (amp * eta)[:, None, None] * eye_blk[None]
+    C = C * mblk[None, :, None] * m_full[None, None, :]
+
+    # padded rows get a clean unit diagonal (zero logdet/quad contribution)
+    diag_vals = jnp.where(mblk[None, :] > 0,
+                          lamblk.astype(C.dtype) + jit_q.astype(C.dtype),
+                          1.0)                                # (q, nb)
+    A = C + diag_vals[:, :, None] * eye_blk[None]
+
+    LT = _dist_cholesky_local(A, ndev)
+    lb = lamblk.astype(LT.dtype) * b_blk.astype(LT.dtype)
+    u = _dist_cho_solve_vec_local(LT, lb, ndev)
+    Cu = lb - diag_vals * u
+    quad = lax.psum(jnp.sum(b_blk.astype(LT.dtype) * Cu, axis=-1), AXIS)
+    logdet = _dist_chol_logdet_local(LT, ndev)
+    return jnp.sum(-0.5 * quad + 0.5 * logdet)
+
+
+def neglpost_rep_nsharded(free: Pm.FreeParams, data: RepData, mesh: Mesh,
+                          compute_dtype=None, jitter: float = 0.0,
+                          kernel: str = 'matern32'):
+    """Replication loss with the unique-point axis sharded over the mesh.
+
+    Semantics identical to ``likelihood.neglpost_rep`` (reference
+    lcgp.py:554-630); n padded with loss-neutral rows.
+    """
+    ndev = mesh.devices.size
+    n = data.xs.shape[0]
+    p = data.ybar.shape[0]
+    n_pad = -(-n // ndev) * ndev
+
+    lLmb, lLmb0, lsig_g, lnug = Pm.constrain(free)
+    lsig = Pm.expand_sigma(lsig_g, data.sigma_map)
+    sigma_raw = jnp.exp(lsig)
+    r = data.r
+
+    sigma_var_used = sigma_raw / jnp.square(data.scale)
+    sigma_inv_sqrt = data.scale / jnp.sqrt(sigma_raw)
+
+    # diagonal data terms: plain n-sums, no sharding needed
+    nlp = 0.5 * jnp.sum(r * jnp.sum(
+        jnp.square(data.ybar * sigma_inv_sqrt[:, None]), axis=0))
+    nlp += 0.5 * n * jnp.sum(jnp.log(sigma_var_used))
+    nlp += -0.5 * p * jnp.sum(jnp.log(r))
+
+    v = data.phi * sigma_inv_sqrt[:, None]
+    b = r[None, :] * (data.ybar.T @ v).T                       # (q, n)
+    D = data.diag_D
+    lam = 1.0 / (D[:, None] * r[None, :])                      # (q, n)
+    nlp += 0.5 * jnp.sum(jnp.log(D[:, None] * r[None, :]))
+    # amplitude-scaled jitter, matching likelihood._rep_terms_fwd_impl
+    jit_q = jitter * (1.0 + lLmb0[:, None])                    # (q, 1)
+
+    xs = _pad_to(data.xs, n_pad, axis=0, fill=0.5)
+    mask = _pad_to(jnp.ones((n,), dtype=data.xs.dtype), n_pad, axis=0)
+    b = _pad_to(b, n_pad, axis=1)
+    lam = _pad_to(lam, n_pad, axis=1, fill=1.0)
+
+    body = partial(_nshard_rep_local, ndev=ndev, kernel=kernel,
+                   compute_dtype=compute_dtype)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
+                  P(None, None), P(None, AXIS), P(None, None), P(None),
+                  P(None)),
+        out_specs=P())
+    comp_terms = fn(xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
+    nlp += comp_terms.astype(nlp.dtype)
+    return nlp / n
+
+
+def make_nsharded_value_and_grad(mesh: Mesh, data,
                                  compute_dtype=None, jitter: float = 0.0,
                                  kernel: str = 'matern32'):
-    """jit(value_and_grad) of the n-sharded loss over the mesh."""
+    """jit(value_and_grad) of the n-sharded loss over the mesh (full or
+    rep data)."""
+    loss_fn = (neglpost_rep_nsharded if isinstance(data, RepData)
+               else neglpost_full_nsharded)
+
     def loss(free):
-        return neglpost_full_nsharded(free, data, mesh,
-                                      compute_dtype=compute_dtype,
-                                      jitter=jitter, kernel=kernel)
+        return loss_fn(free, data, mesh, compute_dtype=compute_dtype,
+                       jitter=jitter, kernel=kernel)
     return jax.jit(jax.value_and_grad(loss))

@@ -107,3 +107,49 @@ class TestNShardedLoss:
                                            compute_dtype=jnp.float32,
                                            jitter=1e-6))
         np.testing.assert_allclose(got, expected, rtol=2e-4)
+
+
+def _rep_problem(q=3, p=6, n=20, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    xu = rng.uniform(0, 1, (n, d))
+    ybar = rng.standard_normal((p, n))
+    r = rng.integers(1, 5, n).astype(np.float64)
+    b = basis_mod.init_phi(ybar, q=q)
+    data = lik.RepData(xs=jnp.asarray(xu), ybar=jnp.asarray(ybar),
+                       scale=jnp.ones(p), r=jnp.asarray(r),
+                       phi=jnp.asarray(b.phi), diag_D=jnp.asarray(b.diag_D),
+                       sigma_map=jnp.asarray(P.sigma_index_map([1] * p)))
+    free = P.init_values(xu, ybar, b.q, [1] * p)
+    return data, free
+
+
+class TestNShardedRepLoss:
+    def test_matches_single_device(self):
+        data, free = _rep_problem(n=20)       # 20 -> padded to 24 over 8
+        mesh = nshard.make_n_mesh(8)
+        expected = float(lik.neglpost_rep(free, data))
+        got = float(nshard.neglpost_rep_nsharded(free, data, mesh))
+        np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+    def test_gradient_matches(self):
+        data, free = _rep_problem(n=24, seed=1)
+        mesh = nshard.make_n_mesh(8)
+        vg = nshard.make_nsharded_value_and_grad(mesh, data)
+        v, g = vg(free)
+        np.testing.assert_allclose(float(v),
+                                   float(lik.neglpost_rep(free, data)),
+                                   rtol=1e-10)
+        g_ref = jax.grad(lambda fr: lik.neglpost_rep(fr, data))(free)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-7, atol=1e-9)
+
+    def test_fast_jitter_path(self):
+        data, free = _rep_problem(n=32, seed=2)
+        mesh = nshard.make_n_mesh(8)
+        got = float(nshard.neglpost_rep_nsharded(
+            free, data, mesh, compute_dtype=jnp.float32, jitter=1e-6))
+        expected = float(lik.neglpost_rep(free, data,
+                                          compute_dtype=jnp.float32,
+                                          jitter=1e-6))
+        np.testing.assert_allclose(got, expected, rtol=2e-4)
