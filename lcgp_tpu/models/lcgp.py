@@ -382,17 +382,24 @@ class LCGP:
                                 jitter=self._jitter, q_chunk=self.q_chunk,
                                 kernel=self.kernel)
 
-    def _loss_fn(self):
+    def _loss_fn(self, compute_dtype='model', jitter=None):
+        """Loss closure; compute_dtype/jitter default to the model's
+        precision policy but can be overridden (the hybrid fit's f32
+        stage)."""
+        if compute_dtype == 'model':
+            compute_dtype = self._compute_dtype
+        if jitter is None:
+            jitter = self._jitter
         if self._z is not None:
             from . import sparse
             fitc = (sparse.neglpost_rep_fitc if self.submethod == 'rep'
                     else sparse.neglpost_full_fitc)
             return lambda free: fitc(free, self._data, self._z,
-                                     compute_dtype=self._compute_dtype,
+                                     compute_dtype=compute_dtype,
                                      kernel=self.kernel)
         return lik.make_loss(self.submethod, self._data,
-                             compute_dtype=self._compute_dtype,
-                             jitter=self._jitter, q_chunk=self.q_chunk,
+                             compute_dtype=compute_dtype,
+                             jitter=jitter, q_chunk=self.q_chunk,
                              kernel=self.kernel)
 
     # At-and-above this many (unique) design points the scipy driver's
@@ -404,21 +411,38 @@ class LCGP:
     def fit(self, verbose: bool = False, method: str = 'auto', **kwargs):
         """Optimize hyperparameters.
 
-        method='auto'   : 'scipy' for small problems, on-device 'lbfgs-jax'
-                          once n >= 512 (where per-iteration host round-trips
-                          dominate the wall-clock on accelerators).
+        method='auto'   : 'scipy' for small problems; at n >= 512 (where
+                          per-iteration host round-trips dominate on
+                          accelerators) the on-device 'hybrid' for f64
+                          precision, 'lbfgs-jax' otherwise.
         method='scipy'  : scipy L-BFGS-B over jitted value_and_grad (the
                           reference's semantics, lcgp.py:537-540; use for
                           parity runs).
         method='adam'   : on-device Adam (kwargs: steps, learning_rate).
         method='lbfgs-jax': on-device optax L-BFGS (kwargs: maxiter, tol).
+        method='hybrid' : f32 on-device L-BFGS to convergence, then an f64
+                          (model-precision) polish (kwargs: maxiter for the
+                          f32 stage, polish_maxiter, default 60) — f64
+                          L-BFGS quality at a fraction of the f64 evals.
         """
         if method == 'auto':
-            method = ('lbfgs-jax' if self.n >= self._AUTO_ONDEVICE_N
-                      else 'scipy')
+            if self.n >= self._AUTO_ONDEVICE_N:
+                method = 'hybrid' if self.precision == 'high' else 'lbfgs-jax'
+            else:
+                method = 'scipy'
             if verbose or self.verbose:
                 print(f'[lcgp_tpu.fit] auto-selected method={method!r} '
                       f'(n={self.n})')
+        if method == 'hybrid':
+            fast_loss = self._loss_fn(compute_dtype=jnp.float32, jitter=1e-6)
+            polish_maxiter = kwargs.pop('polish_maxiter', 60)
+            res1 = minimize_lbfgs_jax(fast_loss, self._free, **kwargs)
+            res = minimize_lbfgs_jax(self._loss_fn(), res1.params,
+                                     maxiter=polish_maxiter)
+            self._free = res.params
+            self._params_version += 1
+            self._fit_result = res
+            return
         loss_fn = self._loss_fn()
         if method == 'scipy':
             res = minimize_lbfgs(loss_fn, self._free,

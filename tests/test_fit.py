@@ -57,3 +57,18 @@ class TestFitMethods:
         m.fit(verbose=True, maxiter=3)
         out = capsys.readouterr().out
         assert 'loss' in out
+
+
+class TestHybridFit:
+    def test_hybrid_improves_loss(self):
+        import numpy as np
+        from lcgp_tpu import LCGP, datasets
+        xtr, ytr, xte, ytrue = datasets.make_rep_data_skewed(seed=31)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        l0 = float(m.loss())
+        m.fit(method='hybrid', maxiter=80, polish_maxiter=20)
+        l1 = float(m.loss())
+        assert l1 < l0
+        from lcgp_tpu import evaluation
+        yp = np.asarray(m.predict(xte)[0])
+        assert evaluation.rmse(ytrue, yp) < 0.1
