@@ -64,6 +64,15 @@ def main():
     print(f'{args.steps} sharded Adam steps in {time.time() - t0:.2f}s; '
           f'loss {single:.4f} -> {float(final_loss):.4f}')
 
+    # n-axis sharding: distributed blocked Cholesky over all devices
+    from lcgp_tpu.parallel import nshard
+    nmesh = nshard.make_n_mesh()
+    vg_n = nshard.make_nsharded_value_and_grad(nmesh, model._data)
+    v_n, _ = vg_n(model._free)
+    print(f'n-sharded loss {float(v_n):.6f} over {nmesh.devices.size} '
+          f'devices (rows of every Gram distributed; '
+          f'diff vs single-device {abs(float(v_n) - single):.2e})')
+
 
 if __name__ == '__main__':
     main()
