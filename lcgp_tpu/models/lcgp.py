@@ -436,6 +436,9 @@ class LCGP:
         if method == 'hybrid':
             fast_loss = self._loss_fn(compute_dtype=jnp.float32, jitter=1e-6)
             polish_maxiter = kwargs.pop('polish_maxiter', 60)
+            # the f32 stage only needs to get close; the polish finishes
+            # the convergence in model precision, so cap the cheap stage
+            kwargs.setdefault('maxiter', 200)
             res1 = minimize_lbfgs_jax(fast_loss, self._free, **kwargs)
             res = minimize_lbfgs_jax(self._loss_fn(), res1.params,
                                      maxiter=polish_maxiter)
