@@ -65,3 +65,37 @@ class TestProfiling:
     def test_log_compiles_context(self):
         with log_compiles():
             jnp.sum(jnp.ones(3))
+
+
+class TestHealthCheck:
+    def test_healthy_model(self):
+        from lcgp_tpu import LCGP
+        from lcgp_tpu.utils import health_check
+        xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=41)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        m.fit(method='scipy', maxiter=40)
+        rep = health_check(m)
+        assert rep['ok'] is True
+        assert rep['checks']['factor_conditioning']['ok']
+        assert rep['checks']['predict_smoke']['ok']
+
+    def test_detects_broken_params(self):
+        import jax.numpy as jnp
+        from lcgp_tpu import LCGP
+        from lcgp_tpu.utils import health_check
+        from lcgp_tpu.models.params import FreeParams
+        xtr, ytr, _, _ = datasets.make_rep_data_1d(n_unique=8, seed=42)
+        m = LCGP(y=ytr, x=xtr, submethod='rep')
+        m._free = FreeParams(m._free.lLmb * jnp.nan, m._free.lLmb0,
+                             m._free.lsigma2s, m._free.lnugGPs)
+        m._params_version += 1
+        rep = health_check(m)
+        assert rep['ok'] is False
+
+    def test_fitc_model_skips_factor(self):
+        from lcgp_tpu import LCGP
+        from lcgp_tpu.utils import health_check
+        xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=43)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=12)
+        rep = health_check(m)
+        assert rep['checks']['factor_conditioning'].get('skipped')
