@@ -65,8 +65,20 @@ def minimize_adam(loss_fn: Callable, params0, *, steps: int = 500,
 
 def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
                        tol: float = 1e-9, block_iters: int = 25,
+                       linesearch: str = 'zoom',
                        verbose: bool = False) -> DeviceFitResult:
-    opt = optax.lbfgs()
+    """On-device optax L-BFGS.
+
+    linesearch='zoom' (optax default; robust, ~3-8 loss evals per
+    iteration) or 'backtracking' (1-2 evals per iteration — cheaper per
+    step on accelerators where each eval is a full factorization pass).
+    """
+    if linesearch == 'backtracking':
+        opt = optax.lbfgs(
+            linesearch=optax.scale_by_backtracking_linesearch(
+                max_backtracking_steps=20, store_grad=True))
+    else:
+        opt = optax.lbfgs()
     vg = optax.value_and_grad_from_state(loss_fn)
 
     @jax.jit
