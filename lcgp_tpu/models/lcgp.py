@@ -429,7 +429,22 @@ class LCGP:
                           (model-precision) polish (kwargs: maxiter for the
                           f32 stage, polish_maxiter, default 60) — f64
                           L-BFGS quality at a fraction of the f64 evals.
+
+        mesh=...        : a jax.sharding.Mesh from parallel.make_mesh runs
+                          the optimization sharded over it (on-device Adam;
+                          kwargs: steps, learning_rate).
         """
+        mesh = kwargs.pop('mesh', None)
+        if mesh is not None:
+            from .. import parallel
+            free, _ = parallel.fit_sharded(self._data, self._free, mesh,
+                                           **kwargs)
+            # gather the sharded leaves so downstream single-device predict
+            # is layout-agnostic
+            self._free = P.FreeParams(*(jnp.asarray(np.asarray(a))
+                                        for a in free))
+            self._params_version += 1
+            return
         if method == 'auto':
             if self.n >= self._AUTO_ONDEVICE_N:
                 if self.precision == 'fast':

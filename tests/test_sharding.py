@@ -84,3 +84,20 @@ class TestShardedLoss:
         v, _ = vg(parallel.place(free, parallel.param_shardings(mesh)),
                   parallel.place(data, parallel.data_shardings(mesh, data)))
         np.testing.assert_allclose(float(v), expected, rtol=1e-10)
+
+
+class TestModelMeshFit:
+    def test_fit_with_mesh_kwarg(self):
+        import numpy as np
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(9)
+        x = rng.uniform(0, 1, (40, 2))
+        y = rng.standard_normal((8, 40))
+        m = LCGP(y=y, x=x, q=4)
+        l0 = float(m.loss())
+        mesh = parallel.make_mesh(n_comp=4, n_out=2)
+        m.fit(mesh=mesh, steps=60, learning_rate=3e-2)
+        assert float(m.loss()) < l0
+        yp, ypv, _ = m.predict(x[:5])
+        assert np.isfinite(np.asarray(yp)).all()
+        assert (np.asarray(ypv) > 0).all()
