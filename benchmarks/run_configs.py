@@ -89,13 +89,15 @@ def config5():
 
 def config6():
     """n=50k inducing-point demo: the exact path needs an 80 GB (q,n,n)
-    stack here (OOM on any single chip); FITC at m=256 fits in ~0.5 GB."""
+    stack here (OOM on any single chip); FITC at m=256 fits in ~0.5 GB.
+    d=2 so the m inducing points resolve the kernel's lengthscales
+    (spacing ~1/16 per dim) — the regime FITC is for."""
     rng = np.random.default_rng(11)
-    n, d, p, q, m = 50_000, 4, 20, 4, 256
+    n, d, p, q, m = 50_000, 2, 20, 4, 256
     x = rng.uniform(0, 1, (n + 500, d))
     t = np.linspace(0, 1, p)[:, None]
     f = (np.sin(2 * np.pi * (t + x[:, :1].T)) * x[:, 1:2].T
-         + np.cos(np.pi * t * x[:, 2:3].T))
+         + np.cos(np.pi * t * x[:, 1:2].T))
     y = f + 0.05 * rng.standard_normal(f.shape)
     return dict(name='fitc_n50k_m256', x=x[:n], y=y[:, :n],
                 xte=x[n:], ytrue=f[:, n:],

@@ -489,19 +489,24 @@ class LCGP:
     # Prediction
     # ------------------------------------------------------------------
     def _ensure_aux(self):
+        # 'mixed' accelerates the *training* iterations; the predictive aux
+        # is a one-shot factorization, so it always runs in full f64 —
+        # predictions from a mixed model are bitwise those of a 'high'
+        # model at the same parameters, regardless of conditioning.
+        aux_dtype = None if self.precision == 'mixed' else self._compute_dtype
         if self._aux is None or self._aux_version != self._params_version:
             if self._z is not None:
                 from . import sparse
                 self._aux = sparse.compute_aux_fitc(
                     self._free, self._data, self._z, self.submethod,
-                    compute_dtype=self._compute_dtype, kernel=self.kernel)
+                    compute_dtype=aux_dtype, kernel=self.kernel)
             elif self.submethod == 'rep':
                 self._aux = pred.compute_aux_rep(
-                    self._free, self._data, compute_dtype=self._compute_dtype,
+                    self._free, self._data, compute_dtype=aux_dtype,
                     jitter=self._jitter, kernel=self.kernel)
             else:
                 self._aux = pred.compute_aux_full(
-                    self._free, self._data, compute_dtype=self._compute_dtype,
+                    self._free, self._data, compute_dtype=aux_dtype,
                     jitter=self._jitter, kernel=self.kernel)
             self._aux_version = self._params_version
         return self._aux
