@@ -68,7 +68,9 @@ class LCGP:
         self._compute_dtype = None if precision == 'high' else dtype_for(precision)
         self._jitter = jitter_for(precision)
         # memory-bounded training: process latent components in chunks of
-        # q_chunk with rematerialization (None = one fused batch)
+        # q_chunk (None = choose automatically from an HBM model once q is
+        # known; pass an int to override, 0/negative to force unchunked)
+        self._q_chunk_arg = q_chunk
         self.q_chunk = q_chunk
         if kernel not in ('matern32', 'rbf'):
             raise ValueError("kernel must be 'matern32' or 'rbf'")
@@ -132,6 +134,12 @@ class LCGP:
         self.g_var = jnp.asarray(b.g_var)
         if self.verbose:
             print('variance of latent g:', np.asarray(self.g_var))
+
+        if self._q_chunk_arg is None:
+            self.q_chunk = self._auto_q_chunk(int(self.q), int(self.n),
+                                              self.precision)
+        elif self._q_chunk_arg <= 0:
+            self.q_chunk = None
 
         if diag_error_structure is None:
             self.diag_error_structure = [1] * int(self.p)
@@ -407,6 +415,29 @@ class LCGP:
     # uncapped scipy L-BFGS-B spends ~3800 emulated-f64 evals (2291 s) for
     # the same prediction quality that 300 iterations reach in 227 s.
     _AUTO_ONDEVICE_N = 512
+
+    # Conservative single-chip HBM budget for the training working set
+    # (v5e has 15.75 GB; leave headroom for XLA scratch + the data terms).
+    _HBM_BUDGET_BYTES = 10e9
+
+    @classmethod
+    def _auto_q_chunk(cls, q: int, n: int, precision: str):
+        """Pick the component-chunk size so the loss+grad working set fits
+        HBM.  Peak model (validated against measured-feasible chunks at the
+        n=4096/q=20 headline config, both dtypes): ~8 transient (qc,n,n)
+        stacks during the chunk's forward+backward plus the stored (q,n,n)
+        Cholesky residuals -> (8*qc + q) * n^2 * itemsize."""
+        itemsize = 4 if precision == 'fast' else 8
+
+        def peak(qc):
+            return (8 * qc + q) * n * n * itemsize
+
+        if peak(q) <= cls._HBM_BUDGET_BYTES:
+            return None                       # unchunked fits
+        for qc in range(q - 1, 0, -1):
+            if q % qc == 0 and peak(qc) <= cls._HBM_BUDGET_BYTES:
+                return qc
+        return 1
 
     def fit(self, verbose: bool = False, method: str = 'auto', **kwargs):
         """Optimize hyperparameters.

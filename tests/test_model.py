@@ -255,3 +255,31 @@ class TestPredictBatching:
         m = LCGP(y=y, x=x)
         with pytest.raises(ValueError):
             m.predict(x, batch_size=4, return_fullcov=True)
+
+
+class TestAutoQChunk:
+    def test_small_problem_unchunked(self):
+        import numpy as np
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(0)
+        m = LCGP(y=rng.standard_normal((3, 30)), x=rng.uniform(0, 1, (30, 2)))
+        assert m.q_chunk is None
+
+    def test_headline_scale_matches_measured_feasible(self):
+        from lcgp_tpu.models.lcgp import LCGP
+        # measured on v5e: f64 q_chunk=5 feasible (10 is not), f32 10 is
+        assert LCGP._auto_q_chunk(20, 4096, 'high') == 5
+        assert LCGP._auto_q_chunk(20, 4096, 'fast') == 10
+        assert LCGP._auto_q_chunk(20, 4096, 'mixed') == 5
+        assert LCGP._auto_q_chunk(5, 1000, 'high') is None
+
+    def test_explicit_override(self):
+        import numpy as np
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(1)
+        y = rng.standard_normal((4, 24))
+        x = rng.uniform(0, 1, (24, 1))
+        m = LCGP(y=y, x=x, q=4, q_chunk=2)
+        assert m.q_chunk == 2
+        m0 = LCGP(y=y, x=x, q=4, q_chunk=0)   # force unchunked
+        assert m0.q_chunk is None
