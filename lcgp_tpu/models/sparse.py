@@ -74,37 +74,50 @@ class FitcCore(NamedTuple):
 
 
 def _fitc_core(xs, z, lLmb, lLmb0, lnug, lam, *, compute_dtype, kernel):
-    """Build the Woodbury state.  lam: (q, n) exact diagonal."""
-    Kmm = gram_stack(z, z, lLmb, lLmb0, lnug, same=False,
-                     compute_dtype=compute_dtype, kind=kernel)  # (q, m, m)
-    amp = lLmb0.astype(Kmm.dtype)
-    Lmm = linalg.cholesky(
-        linalg.add_diag(Kmm, KMM_JITTER * amp[:, None]))
+    """Build the Woodbury state.  lam: (q, n) exact diagonal.
+
+    Precision split: the O(n m^2) work (Knm build, the W panel solve, the
+    M assembly GEMM) runs in the compute dtype, but the small (m, m)
+    factorizations are always f64 — an f32 Cholesky of a near-rank-
+    deficient Kmm produces NaNs that no jitter reliably prevents, and at
+    m<=1024 the f64 cost is negligible next to the GEMMs.
+    """
+    Kmm64 = gram_stack(z, z, lLmb, lLmb0, lnug, same=False,
+                       compute_dtype=None, kind=kernel)        # (q, m, m) f64
+    Kmm64 = Kmm64.astype(jnp.float64)
+    amp64 = lLmb0.astype(jnp.float64)
+    Lmm64 = linalg.cholesky(
+        linalg.add_diag(Kmm64, KMM_JITTER * amp64[:, None]))
     Knm = gram_stack(xs, z, lLmb, lLmb0, lnug, same=False,
                      compute_dtype=compute_dtype, kind=kernel)  # (q, n, m)
+    dt = Knm.dtype
+    Lmm = Lmm64.astype(dt)
     # W = Knm Lmm^{-T}: solve Lmm W^T = Knm^T
     W = jnp.swapaxes(
         linalg.solve_tri_lower(Lmm, jnp.swapaxes(Knm, -1, -2)), -1, -2)
     q_diag = jnp.sum(jnp.square(W), axis=-1)                   # (q, n)
-    c_diag = amp[:, None] * jnp.ones_like(q_diag)              # Matern diag
-    lam_t = lam.astype(W.dtype) + jnp.maximum(c_diag - q_diag, 0.0)
+    c_diag = amp64.astype(dt)[:, None] * jnp.ones_like(q_diag)  # Matern diag
+    lam_t = jnp.maximum(
+        lam.astype(dt) + jnp.maximum(c_diag - q_diag, 0.0),
+        jnp.asarray(1e-10, dtype=dt))
     WtLi = jnp.swapaxes(W, -1, -2) / lam_t[:, None, :]         # (q, m, n)
-    M = linalg.add_diag(WtLi @ W, 1.0)
-    LM = linalg.cholesky(M)
+    M64 = linalg.add_diag((WtLi @ W).astype(jnp.float64), 1.0)
+    LM = linalg.cholesky(M64)                                  # (q, m, m) f64
     return FitcCore(Lmm=Lmm, W=W, lam_t=lam_t, LM=LM)
 
 
 def _fitc_solve(core: FitcCore, v):
-    """(C_hat + Lam)^{-1} v for v (q, n) via Woodbury."""
+    """(C_hat + Lam)^{-1} v for v (q, n) via Woodbury.  The (m, m) solve
+    runs in f64 (LM is an f64 factor); the n-sized ops keep v's dtype."""
     vi = v / core.lam_t
     t = jnp.einsum('qnm,qn->qm', core.W, vi)
-    s = linalg.cho_solve_vec(core.LM, t)
+    s = linalg.cho_solve_vec(core.LM, t.astype(core.LM.dtype)).astype(v.dtype)
     return vi - jnp.einsum('qnm,qm->qn', core.W, s) / core.lam_t
 
 
 def _fitc_logdet(core: FitcCore):
-    return (jnp.sum(jnp.log(core.lam_t), axis=-1)
-            + linalg.chol_logdet(core.LM))                     # (q,)
+    return (jnp.sum(jnp.log(core.lam_t.astype(core.LM.dtype)), axis=-1)
+            + linalg.chol_logdet(core.LM))                     # (q,) f64
 
 
 def _fitc_terms(core: FitcCore, lam, b):
@@ -213,8 +226,9 @@ def compute_aux_fitc(free: P.FreeParams, data, z, mode: str,
     alpha = jnp.einsum('qnm,qn->qm', core.W, u)
     # G = W^T Lam~^{-1} W = M - I; the variance reduction kernel is
     # G - G M^{-1} G = G M^{-1} (M = I + G commutes with G), symmetric PSD
-    Minv = linalg.chol_inverse(core.LM)
-    G = jnp.einsum('qnm,qn,qnk->qmk', core.W, 1.0 / core.lam_t, core.W)
+    Minv = linalg.chol_inverse(core.LM)                        # f64
+    G = jnp.einsum('qnm,qn,qnk->qmk', core.W, 1.0 / core.lam_t,
+                   core.W).astype(core.LM.dtype)
     inner = G @ Minv
     inner = 0.5 * (inner + jnp.swapaxes(inner, -1, -2))
     return FitcAux(Lmm=core.Lmm, alpha=alpha, inner=inner, u=u)

@@ -123,3 +123,18 @@ class TestFitcModel:
         m = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=15)
         assert m.Tks is None and m.LTs is None and m.mks is None
         assert m.CinvMs.shape == (m.q, m.n)
+
+
+class TestFitcFastPrecision:
+    def test_f32_loss_close_to_f64_and_finite(self):
+        xtr, ytr, xte, _ = datasets.make_rep_data_skewed(seed=15)
+        hi = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=20)
+        fa = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=20,
+                  precision='fast')
+        l_hi, l_fa = float(hi.loss()), float(fa.loss())
+        assert np.isfinite(l_fa)
+        np.testing.assert_allclose(l_fa, l_hi, rtol=1e-3)
+        fa.fit(method='lbfgs-jax', maxiter=40)
+        assert np.isfinite(float(fa.loss()))
+        yp, ypv, _ = map(np.asarray, fa.predict(xte))
+        assert np.isfinite(yp).all() and (ypv > 0).all()
