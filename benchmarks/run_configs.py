@@ -115,6 +115,10 @@ def main():
     ap.add_argument('--method', default='auto')
     ap.add_argument('--precision', default='high')
     ap.add_argument('--maxiter', type=int, default=None)
+    ap.add_argument('--block-iters', type=int, default=None,
+                    help='on-device L-BFGS dispatch block length (shrink '
+                         'for very large per-eval cost: the tunneled TPU '
+                         'watchdog kills multi-minute single dispatches)')
     args = ap.parse_args()
 
     if args.cpu:
@@ -133,6 +137,8 @@ def main():
         fit_kwargs = {}
         if args.maxiter:
             fit_kwargs['maxiter'] = args.maxiter
+        if args.block_iters and args.method == 'lbfgs-jax':
+            fit_kwargs['block_iters'] = args.block_iters
         t0 = time.time()
         model.fit(method=args.method, **fit_kwargs)
         fit_s = time.time() - t0
