@@ -115,6 +115,11 @@ def main():
     ap.add_argument('--method', default='auto')
     ap.add_argument('--precision', default='high')
     ap.add_argument('--maxiter', type=int, default=None)
+    ap.add_argument('--steps', type=int, default=None,
+                    help='adam steps')
+    ap.add_argument('--lr', type=float, default=None, help='adam lr')
+    ap.add_argument('--block-steps', type=int, default=None,
+                    help='adam dispatch block length')
     ap.add_argument('--block-iters', type=int, default=None,
                     help='on-device L-BFGS dispatch block length (shrink '
                          'for very large per-eval cost: the tunneled TPU '
@@ -139,6 +144,14 @@ def main():
             fit_kwargs['maxiter'] = args.maxiter
         if args.block_iters and args.method == 'lbfgs-jax':
             fit_kwargs['block_iters'] = args.block_iters
+        if args.method == 'adam':
+            fit_kwargs.pop('maxiter', None)
+            if args.steps:
+                fit_kwargs['steps'] = args.steps
+            if args.lr:
+                fit_kwargs['learning_rate'] = args.lr
+            if args.block_steps:
+                fit_kwargs['block_steps'] = args.block_steps
         t0 = time.time()
         model.fit(method=args.method, **fit_kwargs)
         fit_s = time.time() - t0
