@@ -140,7 +140,8 @@ def _full_terms_fwd_impl(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
     w = _factor_solve_vec(LB, B, a.astype(LB.dtype), compute_dtype)
     Dm = D.astype(LB.dtype)
     Cw = (a.astype(LB.dtype) - (1.0 + jitter) * w) / Dm[:, None]
-    quad = jnp.sum(a.astype(LB.dtype) * Cw, axis=-1)
+    # n-length reductions accumulate in f64 (loss resolution at large n)
+    quad = jnp.sum((a.astype(LB.dtype) * Cw).astype(jnp.float64), axis=-1)
     terms = 0.5 * linalg.chol_logdet(LB) - 0.5 * quad
     return terms, (xs, lLmb, lLmb0, lnug, D, a, LB, w)
 
@@ -198,9 +199,11 @@ def _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
     LT = _factor(A, compute_dtype)
     u = _factor_solve_vec(LT, A, lam * b.astype(dt), compute_dtype)
     Cu = lam * b.astype(dt) - diag_vec * u                  # S b
-    logdetA = (jnp.sum(jnp.log(Dc[:, None] * r2[None, :]), axis=-1)
+    logdetA = (jnp.sum(jnp.log(Dc[:, None] * r2[None, :])
+                       .astype(jnp.float64), axis=-1)
                + linalg.chol_logdet(LT))
-    terms = -0.5 * jnp.sum(b.astype(dt) * Cu, axis=-1) + 0.5 * logdetA
+    terms = (-0.5 * jnp.sum((b.astype(dt) * Cu).astype(jnp.float64), axis=-1)
+             + 0.5 * logdetA)
     return terms, (xs, sr, lLmb, lLmb0, lnug, D, b, LT, u, Cu)
 
 

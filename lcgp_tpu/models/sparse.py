@@ -121,14 +121,19 @@ def _fitc_logdet(core: FitcCore):
 
 
 def _fitc_terms(core: FitcCore, lam, b):
-    """(-0.5 quad, 0.5 ld) building blocks: u, quad, ld per component."""
+    """(-0.5 quad, 0.5 ld) building blocks: u, quad, ld per component.
+
+    The n-length reductions accumulate in f64 regardless of the compute
+    dtype: at n=50k an f32 sum of O(1) terms resolves the loss only to
+    ~1e0 absolute, which blinds any line search (observed as L-BFGS
+    divergence); the cast costs one n-vector."""
     b = b.astype(core.W.dtype)
     u = _fitc_solve(core, lam.astype(core.W.dtype) * b)
     # C_hat u = W W^T u + (lam_t - lam) u   (diag corr = lam_t - lam)
     Cu = (jnp.einsum('qnm,qm->qn', core.W,
                      jnp.einsum('qnm,qn->qm', core.W, u))
           + (core.lam_t - lam.astype(core.W.dtype)) * u)
-    quad = jnp.sum(b * Cu, axis=-1)
+    quad = jnp.sum((b * Cu).astype(jnp.float64), axis=-1)
     return u, quad, _fitc_logdet(core)
 
 

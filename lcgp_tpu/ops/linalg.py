@@ -28,9 +28,13 @@ def cholesky(mats):
 
 
 def chol_logdet(chols):
-    """logdet(A) from L with A = L L^T; batched over leading axes."""
+    """logdet(A) from L with A = L L^T; batched over leading axes.
+
+    The n-length sum accumulates in f64 even for f32 factors — at large n
+    an f32 accumulation resolves the result only to ~sqrt(n)*eps32*|sum|,
+    which starves optimizers of loss signal."""
     diag = jnp.diagonal(chols, axis1=-2, axis2=-1)
-    return 2.0 * jnp.sum(jnp.log(diag), axis=-1)
+    return 2.0 * jnp.sum(jnp.log(diag).astype(jnp.float64), axis=-1)
 
 
 def solve_tri_lower(chols, rhs):
