@@ -26,7 +26,10 @@ class DeviceFitResult(NamedTuple):
 
 def minimize_adam(loss_fn: Callable, params0, *, steps: int = 500,
                   learning_rate: float = 5e-2, block_steps: int = 50,
-                  verbose: bool = False) -> DeviceFitResult:
+                  verbose: bool = False,
+                  callback: Callable = None) -> DeviceFitResult:
+    """callback(step, loss, params), invoked at each host sync (block
+    boundary) — use for mid-fit checkpointing/telemetry."""
     opt = optax.adam(learning_rate)
     vg = jax.value_and_grad(loss_fn)
 
@@ -59,6 +62,8 @@ def minimize_adam(loss_fn: Callable, params0, *, steps: int = 500,
         done += length
         if verbose:
             print(f'[lcgp_tpu.fit adam] step {done:4d}  loss {last:.8g}')
+        if callback is not None:
+            callback(done, last, params)
     return DeviceFitResult(params=params, fun=jnp.asarray(last),
                            nit=jnp.asarray(steps))
 
@@ -66,12 +71,14 @@ def minimize_adam(loss_fn: Callable, params0, *, steps: int = 500,
 def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
                        tol: float = 1e-9, block_iters: int = 25,
                        linesearch: str = 'zoom',
-                       verbose: bool = False) -> DeviceFitResult:
+                       verbose: bool = False,
+                       callback: Callable = None) -> DeviceFitResult:
     """On-device optax L-BFGS.
 
     linesearch='zoom' (optax default; robust, ~3-8 loss evals per
     iteration) or 'backtracking' (1-2 evals per iteration — cheaper per
     step on accelerators where each eval is a full factorization pass).
+    callback(step, loss, params) runs at each host sync (block boundary).
     """
     if linesearch == 'backtracking':
         opt = optax.lbfgs(
@@ -112,6 +119,8 @@ def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
         if verbose:
             print(f'[lcgp_tpu.fit lbfgs-jax] iter {done:4d}  '
                   f'loss {float(value):.8g}')
+        if callback is not None:
+            callback(done, float(value), params)
         if done >= maxiter or done == int(it):
             it = it_new
             break

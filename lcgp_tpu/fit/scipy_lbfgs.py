@@ -26,16 +26,25 @@ class FitResult(NamedTuple):
 
 
 def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
-                   **scipy_options) -> FitResult:
+                   callback: Callable = None, **scipy_options) -> FitResult:
     """Minimize loss_fn(params_pytree) with scipy L-BFGS-B.
 
     scipy_options are forwarded to scipy's ``options`` dict (maxiter, ftol,
     gtol, ...); defaults are scipy's, matching gpflow's defaults.
+    callback(iteration, loss, params) is invoked per L-BFGS iteration.
     """
     flat0, unravel = ravel_pytree(params0)
     vg = jax.jit(jax.value_and_grad(lambda flat: loss_fn(unravel(flat))))
 
     neval = 0
+    nit_seen = 0
+    last_val = [np.inf]
+
+    def scipy_cb(xk):
+        nonlocal nit_seen
+        nit_seen += 1
+        if callback is not None:
+            callback(nit_seen, last_val[0], unravel(xk))
 
     def fun_and_jac(z):
         nonlocal neval
@@ -51,6 +60,7 @@ def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
             g = np.where(np.isfinite(g), g, 0.0)
         if verbose:
             print(f"[lcgp_tpu.fit] eval {neval:4d}  loss {v:.8g}")
+        last_val[0] = v
         return v, g
 
     res = scipy.optimize.minimize(
@@ -58,6 +68,7 @@ def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
         np.asarray(flat0, dtype=np.float64),
         jac=True,
         method="L-BFGS-B",
+        callback=scipy_cb if callback is not None else None,
         options=scipy_options or None,
     )
     return FitResult(

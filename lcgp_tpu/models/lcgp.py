@@ -465,8 +465,27 @@ class LCGP:
                           the optimization sharded over it (on-device Adam;
                           kwargs: steps, learning_rate).
         """
+        # mid-fit checkpointing: periodically persist the free parameters
+        # (+ step/loss) so a long fit survives preemption; restore with
+        # restore_checkpoint().  Wired through the optimizer block callback.
+        checkpoint_path = kwargs.pop('checkpoint_path', None)
+        if checkpoint_path is not None:
+            user_cb = kwargs.pop('callback', None)
+
+            def _ckpt_cb(step, loss, params):
+                np.savez(checkpoint_path, step=step, loss=loss,
+                         free_lLmb=np.asarray(params.lLmb),
+                         free_lLmb0=np.asarray(params.lLmb0),
+                         free_lsigma2s=np.asarray(params.lsigma2s),
+                         free_lnugGPs=np.asarray(params.lnugGPs))
+                if user_cb is not None:
+                    user_cb(step, loss, params)
+
+            kwargs['callback'] = _ckpt_cb
+
         mesh = kwargs.pop('mesh', None)
         if mesh is not None:
+            kwargs.pop('callback', None)   # sharded loop has no host sync cb
             from .. import parallel
             free, _ = parallel.fit_sharded(self._data, self._free, mesh,
                                            **kwargs)
@@ -515,6 +534,17 @@ class LCGP:
         self._params_version += 1
         self._fit_result = res
         return
+
+    def restore_checkpoint(self, path):
+        """Load free parameters from a fit(checkpoint_path=...) snapshot;
+        returns (step, loss) recorded at the snapshot."""
+        z = np.load(path, allow_pickle=False)
+        self._free = P.FreeParams(jnp.asarray(z['free_lLmb']),
+                                  jnp.asarray(z['free_lLmb0']),
+                                  jnp.asarray(z['free_lsigma2s']),
+                                  jnp.asarray(z['free_lnugGPs']))
+        self._params_version += 1
+        return int(z['step']), float(z['loss'])
 
     # ------------------------------------------------------------------
     # Prediction

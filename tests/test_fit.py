@@ -72,3 +72,42 @@ class TestHybridFit:
         from lcgp_tpu import evaluation
         yp = np.asarray(m.predict(xte)[0])
         assert evaluation.rmse(ytrue, yp) < 0.1
+
+
+class TestCheckpointing:
+    def test_checkpoint_and_restore(self, tmp_path):
+        import numpy as np
+        from lcgp_tpu import LCGP, datasets
+        xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=33)
+        path = str(tmp_path / 'ckpt.npz')
+
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        m.fit(method='adam', steps=40, block_steps=10, checkpoint_path=path)
+        fitted = np.asarray(m._free.lLmb)
+
+        m2 = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        step, loss = m2.restore_checkpoint(path)
+        assert step == 40 and np.isfinite(loss)
+        np.testing.assert_allclose(np.asarray(m2._free.lLmb), fitted)
+
+    def test_scipy_checkpoint_callback(self, tmp_path):
+        import numpy as np
+        from lcgp_tpu import LCGP, datasets
+        xtr, ytr, _, _ = datasets.make_rep_data_1d(n_unique=8, seed=34)
+        path = str(tmp_path / 'c2.npz')
+        m = LCGP(y=ytr, x=xtr, submethod='rep')
+        m.fit(method='scipy', maxiter=15, checkpoint_path=path)
+        m2 = LCGP(y=ytr, x=xtr, submethod='rep')
+        step, loss = m2.restore_checkpoint(path)
+        assert step >= 1 and np.isfinite(loss)
+
+    def test_lbfgs_jax_checkpoint(self, tmp_path):
+        import numpy as np
+        from lcgp_tpu import LCGP, datasets
+        xtr, ytr, _, _ = datasets.make_rep_data_1d(n_unique=10, seed=35)
+        path = str(tmp_path / 'c3.npz')
+        m = LCGP(y=ytr, x=xtr, submethod='rep')
+        m.fit(method='lbfgs-jax', maxiter=20, block_iters=10,
+              checkpoint_path=path)
+        z = np.load(path)
+        assert np.isfinite(float(z['loss']))
