@@ -72,8 +72,9 @@ class LCGP:
         # known; pass an int to override, 0/negative to force unchunked)
         self._q_chunk_arg = q_chunk
         self.q_chunk = q_chunk
-        if kernel not in ('matern32', 'rbf'):
-            raise ValueError("kernel must be 'matern32' or 'rbf'")
+        if kernel not in ('matern32', 'matern52', 'rbf'):
+            raise ValueError(
+                "kernel must be 'matern32', 'matern52', or 'rbf'")
         self.kernel = kernel
 
         self.x = self._verify_data_types(x)

@@ -52,6 +52,10 @@ def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
         # SE factors through a batched MXU matmul; XLA is already optimal
         from .rbf import rbf_gram
         return rbf_gram(x1, x2, lengthscales, amplitudes, nuggets, same=same)
+    if kind == 'matern52':
+        from .matern52 import matern52_gram
+        return matern52_gram(x1, x2, lengthscales, amplitudes, nuggets,
+                             same=same)
     if kind != 'matern32':
         raise ValueError(f"unknown kernel kind {kind!r}")
     return matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, same=same)
@@ -86,6 +90,10 @@ def gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
         from .rbf import rbf_gram_vjp
         return rbf_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets,
                             same=same, cbar=cbar)
+    if kind == 'matern52':
+        from .matern52 import matern52_gram_vjp
+        return matern52_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets,
+                                 same=same, cbar=cbar)
     if kind != 'matern32':
         raise ValueError(f"unknown kernel kind {kind!r}")
     from .matern import matern32_gram_vjp
