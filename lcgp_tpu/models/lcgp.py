@@ -659,11 +659,15 @@ class LCGP:
             predict_call = self.submethod_predict_map[self.submethod]
         except KeyError:
             raise KeyError("Invalid submethod.  Choices are 'full' or 'rep'.")
-        if batch_size is None or x0.shape[0] <= batch_size:
+        if batch_size is None:
             return predict_call(x0=x0, return_fullcov=return_fullcov)
         if return_fullcov:
             raise ValueError('batch_size is not supported with '
                              'return_fullcov=True.')
+        # With batch_size set, EVERY request goes through the fixed-shape
+        # chunk/pad path — including n0 < batch_size.  (A fast path that
+        # skipped padding for small inputs compiled a fresh program per
+        # distinct n0: measured 15 s/request on the tunneled TPU backend.)
         n0 = x0.shape[0]
         # pad the final chunk so every batch compiles to one shape
         chunks = []
