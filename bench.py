@@ -107,7 +107,8 @@ def main():
         lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
             lambda f_: lik.neglpost_full(f_, d, compute_dtype=jax.numpy.float32,
                                          jitter=1e-6, q_chunk=qc))(fr)),
-        free, data, chunks=(10, 5))  # un-chunked f32 exceeds HBM (measured)
+        free, data, chunks=(None, 10, 5))  # unchunked f32 fits since the
+        # no-C-materialization rewrite (measured 172 ms vs 195 chunked)
 
     # mixed: f64 data/Gram/reductions, f32-seeded refined factorizations
     # (f64-grade results in the validated conditioning regime, RESULTS.md)
