@@ -1,0 +1,152 @@
+"""f32 op-level breakdown at the headline config (VERDICT r2 item #2).
+
+Times each op of the f32 loss eval at n=4096, p=1000, q=20, d=8 on the
+default backend, and A/Bs a GEMM-blocked f32 Cholesky (panel factor via
+XLA's expander at small block size + MXU GEMM trailing updates) against
+XLA's stock batched Cholesky.  Run:
+
+  PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/f32_breakdown.py
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N, P_OUT, Q, D = 4096, 1000, 20, 8
+REPS = 5
+
+
+def sync_time(fn, *args, reps=REPS, warmup=1):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+        jax.tree.map(lambda a: np.asarray(a).ravel()[:1], out)
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        # host transfer = only trustworthy sync on the axon backend
+        jax.tree.map(lambda a: np.asarray(a).ravel()[:1], out)
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from lcgp_tpu.models import basis as basis_mod
+    from lcgp_tpu.models import likelihood as lik
+    from lcgp_tpu.models import params as P
+    from lcgp_tpu.ops import linalg
+    from lcgp_tpu.ops.gram import gram_factor_target, gram_stack, gram_vjp
+
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(0, 1, (N, D))
+    t = np.linspace(0, 1, P_OUT)[:, None]
+    ys = (np.sin(2 * np.pi * (t + xs[:, :1].T)) +
+          0.05 * rng.standard_normal((P_OUT, N)))
+    ys = (ys - ys.mean(1, keepdims=True)) / ys.std(1, keepdims=True)
+    b = basis_mod.init_phi(ys, q=Q)
+    data = lik.FullData(xs=jnp.asarray(xs), ys=jnp.asarray(ys),
+                        phi=jnp.asarray(b.phi), diag_D=jnp.asarray(b.diag_D),
+                        sigma_map=jnp.asarray(P.sigma_index_map([1] * P_OUT)))
+    free = P.init_values(xs, ys, Q, [1] * P_OUT)
+
+    lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
+    lsig = P.expand_sigma(lsig_g, data.sigma_map)
+    sigma = jnp.exp(lsig)
+    psi_c = data.phi / jnp.sqrt(sigma)[:, None]
+    a = jnp.asarray((data.ys.T @ psi_c).T, dtype=jnp.float32)
+
+    f32 = jnp.float32
+    xs32 = jnp.asarray(xs, dtype=f32)
+    jitter = 1e-6
+
+    results = {}
+
+    # -- Gram / factor-target build ------------------------------------
+    build = jax.jit(lambda: gram_factor_target(
+        xs32, lLmb, lLmb0, lnug, row_scale=data.diag_D,
+        diag_vec=jnp.full((Q, N), 1.0 + jitter, dtype=f32),
+        compute_dtype=f32))
+    results['gram_build_ms'] = sync_time(build) * 1e3
+    B = build()
+    B = jax.block_until_ready(B)
+
+    # -- stock XLA batched Cholesky ------------------------------------
+    chol = jax.jit(jnp.linalg.cholesky)
+    results['cholesky_xla_ms'] = sync_time(chol, B) * 1e3
+    L = chol(B)
+
+    # -- blocked GEMM-dominant Cholesky --------------------------------
+    def blocked_chol(A, nb):
+        n = A.shape[-1]
+        Lout = jnp.zeros_like(A)
+        for k in range(0, n, nb):
+            kk = slice(k, k + nb)
+            Lkk = jnp.linalg.cholesky(A[..., kk, kk])
+            Lout = Lout.at[..., kk, kk].set(Lkk)
+            if k + nb < n:
+                below = slice(k + nb, n)
+                eye = jnp.broadcast_to(jnp.eye(nb, dtype=A.dtype),
+                                       A.shape[:-2] + (nb, nb))
+                Linv = jax.lax.linalg.triangular_solve(
+                    Lkk, eye, left_side=True, lower=True)
+                Lik = A[..., below, kk] @ jnp.swapaxes(Linv, -1, -2)
+                Lout = Lout.at[..., below, kk].set(Lik)
+                A = A.at[..., below, below].add(
+                    -(Lik @ jnp.swapaxes(Lik, -1, -2)))
+        return Lout
+
+    for nb in (256, 512, 1024):
+        fn = jax.jit(lambda A, nb=nb: blocked_chol(A, nb))
+        key = f'cholesky_blocked{nb}_ms'
+        try:
+            results[key] = sync_time(fn, B) * 1e3
+            Lb = fn(B)
+            err = float(jnp.max(jnp.abs(Lb - L)) / jnp.max(jnp.abs(L)))
+            results[f'cholesky_blocked{nb}_relerr'] = err
+        except Exception as e:  # noqa: BLE001
+            results[key] = f'FAIL {type(e).__name__}: {e}'[:200]
+
+    # -- triangular pieces ---------------------------------------------
+    solve_vec = jax.jit(linalg.cho_solve_vec)
+    results['cho_solve_vec_ms'] = sync_time(solve_vec, L, a) * 1e3
+    logdet = jax.jit(linalg.chol_logdet)
+    results['chol_logdet_ms'] = sync_time(logdet, L) * 1e3
+    cinv = jax.jit(linalg.chol_inverse)
+    results['chol_inverse_ms'] = sync_time(cinv, L) * 1e3
+
+    # -- gram vjp -------------------------------------------------------
+    w = solve_vec(L, a)
+    Binv = cinv(L)
+    Dm = data.diag_D.astype(f32)
+    Cbar = 0.5 * Dm[:, None, None] * Binv - 0.5 * w[:, :, None] * w[:, None, :]
+    gvjp = jax.jit(lambda cb: gram_vjp(xs32, xs32, lLmb.astype(f32),
+                                       lLmb0.astype(f32), lnug.astype(f32),
+                                       same=True, cbar=cb))
+    results['gram_vjp_ms'] = sync_time(gvjp, Cbar) * 1e3
+
+    # -- end-to-end -----------------------------------------------------
+    lossf = jax.jit(lambda fr: lik.neglpost_full(
+        fr, data, compute_dtype=f32, jitter=jitter))
+    results['loss_fwd_ms'] = sync_time(lossf, free) * 1e3
+    vg = jax.jit(jax.value_and_grad(lambda fr: lik.neglpost_full(
+        fr, data, compute_dtype=f32, jitter=jitter)))
+    results['loss_fwd_bwd_ms'] = sync_time(vg, free) * 1e3
+
+    results['device'] = str(jax.devices()[0])
+    # Cholesky model FLOPs (n^3/3 per comp) for MFU context
+    for k in ('cholesky_xla_ms', 'cholesky_blocked256_ms',
+              'cholesky_blocked512_ms', 'cholesky_blocked1024_ms'):
+        v = results.get(k)
+        if isinstance(v, float):
+            results[k.replace('_ms', '_tflops')] = round(
+                Q * N**3 / 3 / (v * 1e-3) / 1e12, 2)
+    print(json.dumps(results, indent=1, default=str))
+
+
+if __name__ == '__main__':
+    main()

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -22,6 +24,7 @@ class DeviceFitResult(NamedTuple):
     params: object
     fun: jnp.ndarray
     nit: jnp.ndarray
+    stop_reason: str = 'cap'   # 'gtol' | 'plateau' | 'cap'
 
 
 def minimize_adam(loss_fn: Callable, params0, *, steps: int = 500,
@@ -64,14 +67,17 @@ def minimize_adam(loss_fn: Callable, params0, *, steps: int = 500,
             print(f'[lcgp_tpu.fit adam] step {done:4d}  loss {last:.8g}')
         if callback is not None:
             callback(done, last, params)
+    # Adam's step count is a budget, not a convergence criterion — 'steps'
+    # (vs 'cap') keeps fit() from announcing a premature-stop warning.
     return DeviceFitResult(params=params, fun=jnp.asarray(last),
-                           nit=jnp.asarray(steps))
+                           nit=jnp.asarray(steps), stop_reason='steps')
 
 
 def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
                        tol: float = 1e-9, block_iters: int = 25,
                        linesearch: str = 'zoom',
                        verbose: bool = False,
+                       plateau_rtol: float = None,
                        callback: Callable = None) -> DeviceFitResult:
     """On-device optax L-BFGS.
 
@@ -79,6 +85,10 @@ def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
     iteration) or 'backtracking' (1-2 evals per iteration — cheaper per
     step on accelerators where each eval is a full factorization pass).
     callback(step, loss, params) runs at each host sync (block boundary).
+    plateau_rtol: if set, stop when the relative loss decrease over the
+    last ``block_iters`` iterations falls below it (checked at block
+    boundaries — free, the host syncs there anyway).  ``stop_reason``
+    records why optimization ended ('gtol'/'plateau'/'cap').
     """
     if linesearch == 'backtracking':
         opt = optax.lbfgs(
@@ -113,16 +123,32 @@ def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
     state = jax.jit(opt.init)(params0)
     it = jnp.asarray(0)
     value = jnp.asarray(jnp.inf)
+    prev_value = np.inf
+    reason = 'cap'
     while True:
         params, state, it_new, value = run_block(params, state, it)
         done = int(it_new)  # host sync
+        v = float(value)
         if verbose:
             print(f'[lcgp_tpu.fit lbfgs-jax] iter {done:4d}  '
-                  f'loss {float(value):.8g}')
+                  f'loss {v:.8g}')
         if callback is not None:
-            callback(done, float(value), params)
-        if done >= maxiter or done == int(it):
+            callback(done, v, params)
+        if done == int(it):
+            reason = 'gtol'      # while_loop exited on gnorm, not budget
             it = it_new
             break
+        if plateau_rtol is not None and np.isfinite(prev_value) and \
+                np.isfinite(v) and \
+                (prev_value - v) / max(1.0, abs(v)) < plateau_rtol:
+            reason = 'plateau'
+            it = it_new
+            break
+        if done >= maxiter:
+            reason = 'cap'
+            it = it_new
+            break
+        prev_value = v
         it = it_new
-    return DeviceFitResult(params=params, fun=value, nit=it)
+    return DeviceFitResult(params=params, fun=value, nit=it,
+                           stop_reason=reason)

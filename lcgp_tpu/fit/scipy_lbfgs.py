@@ -7,7 +7,7 @@ XLA executable; the host only runs the optimizer's O(params) vector math.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import numpy as np
 import scipy.optimize
@@ -23,15 +23,26 @@ class FitResult(NamedTuple):
     nfev: int
     success: bool
     message: str
+    stop_reason: str = 'gtol'   # 'gtol' | 'plateau' | 'cap' | 'other'
 
 
 def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
-                   callback: Callable = None, **scipy_options) -> FitResult:
+                   callback: Callable = None,
+                   plateau_patience: Optional[int] = None,
+                   plateau_rtol: float = 1e-8,
+                   **scipy_options) -> FitResult:
     """Minimize loss_fn(params_pytree) with scipy L-BFGS-B.
 
     scipy_options are forwarded to scipy's ``options`` dict (maxiter, ftol,
     gtol, ...); defaults are scipy's, matching gpflow's defaults.
     callback(iteration, loss, params) is invoked per L-BFGS iteration.
+
+    plateau_patience: if set, stop once the relative loss decrease over the
+    last ``plateau_patience`` iterations falls below ``plateau_rtol`` —
+    a convergence-based cap replacing any hand-tuned maxiter (the optimizer
+    routinely spends thousands of late evals on negligible gains).  The
+    result's ``stop_reason`` records why optimization ended
+    ('gtol'/'plateau'/'cap'/'other').
     """
     flat0, unravel = ravel_pytree(params0)
     vg = jax.jit(jax.value_and_grad(lambda flat: loss_fn(unravel(flat))))
@@ -39,12 +50,24 @@ def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
     neval = 0
     nit_seen = 0
     last_val = [np.inf]
+    history: list = []
+    plateaued = [False]
 
     def scipy_cb(xk):
         nonlocal nit_seen
         nit_seen += 1
         if callback is not None:
             callback(nit_seen, last_val[0], unravel(xk))
+        if plateau_patience is not None:
+            history.append(last_val[0])
+            if len(history) > plateau_patience:
+                prev = history[-plateau_patience - 1]
+                cur = history[-1]
+                denom = max(1.0, abs(cur))
+                if np.isfinite(prev) and np.isfinite(cur) and \
+                        (prev - cur) / denom < plateau_rtol:
+                    plateaued[0] = True
+                    raise StopIteration
 
     def fun_and_jac(z):
         nonlocal neval
@@ -63,19 +86,32 @@ def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
         last_val[0] = v
         return v, g
 
+    use_cb = callback is not None or plateau_patience is not None
     res = scipy.optimize.minimize(
         fun_and_jac,
         np.asarray(flat0, dtype=np.float64),
         jac=True,
         method="L-BFGS-B",
-        callback=scipy_cb if callback is not None else None,
+        callback=scipy_cb if use_cb else None,
         options=scipy_options or None,
     )
+    msg = str(res.message)
+    if plateaued[0]:
+        reason = 'plateau'
+    elif 'MAXIMUM NUMBER OF ITERATION' in msg.upper() or \
+            ('maxiter' in scipy_options
+             and int(res.nit) >= int(scipy_options['maxiter'])):
+        reason = 'cap'
+    elif res.success:
+        reason = 'gtol'
+    else:
+        reason = 'other'
     return FitResult(
         params=unravel(res.x),
         fun=float(res.fun),
         nit=int(res.nit),
         nfev=int(res.nfev),
-        success=bool(res.success),
-        message=str(res.message),
+        success=bool(res.success) or plateaued[0],
+        message=msg,
+        stop_reason=reason,
     )

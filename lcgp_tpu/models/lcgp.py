@@ -98,8 +98,12 @@ class LCGP:
         self.x_orig = self.x
         self.y_orig = self.y
 
-        # x standardization (always on the full inputs, lcgp.py:97)
-        self.x, self.x_min, self.x_max, _, self.xnorm = self.init_standard_x(self.x)
+        # x standardization (always on the full inputs, lcgp.py:97).
+        # xnorm (an O(n^2) host diagnostic nothing consumes, reference
+        # lcgp.py:304-310) is computed lazily on first access — at n=50k
+        # the eager version burned ~1e9 NumPy ops per construction.
+        self.x, self.x_min, self.x_max = tx.standardize_x(self.x)
+        self._xnorm_cache = None
 
         self._rep_initialized = False
 
@@ -265,6 +269,15 @@ class LCGP:
                 return ys * self.ybar_std + self.ybar_mean
             return ys
         return ys * self.ystd + self.ymean
+
+    @property
+    def xnorm(self):
+        """Per-dim mean positive pairwise |x_i - x_j| (reference
+        lcgp.py:304-310).  Dead diagnostic in the reference too; computed
+        lazily so construction stays O(n)."""
+        if self._xnorm_cache is None:
+            self._xnorm_cache = jnp.asarray(tx.xnorm(np.asarray(self.x_orig)))
+        return self._xnorm_cache
 
     @staticmethod
     def init_standard_x(x):
@@ -446,12 +459,16 @@ class LCGP:
         method='auto'   : 'scipy' (uncapped, parity semantics) for small
                           problems.  At n >= 512: precision='fast' uses the
                           on-device 'lbfgs-jax' (f32 evals are cheap);
-                          'high'/'mixed' use scipy *capped at maxiter=300* —
-                          measured at the borehole config (n=1000) this
-                          matches full-convergence quality (rmse 0.0137 vs
-                          0.0138) at 227 s instead of 2291 s, because the
+                          'high'/'mixed' use scipy with a *plateau stop*
+                          (halt when the relative loss decrease over the
+                          last plateau_patience=20 iters < plateau_rtol=
+                          1e-8) — at the borehole config (n=1000) the
                           uncapped optimizer spends thousands of
-                          emulated-f64 evals on negligible loss gains.
+                          emulated-f64 evals on negligible loss gains
+                          (2291 s for the quality a convergence stop
+                          reaches in ~230 s).  maxiter=2000 remains as a
+                          safety cap; stopping on it is announced and
+                          recorded in _fit_result.stop_reason.
         method='scipy'  : scipy L-BFGS-B over jitted value_and_grad (the
                           reference's semantics, lcgp.py:537-540; use for
                           parity runs).
@@ -471,6 +488,9 @@ class LCGP:
         # restore_checkpoint().  Wired through the optimizer block callback.
         checkpoint_path = kwargs.pop('checkpoint_path', None)
         if checkpoint_path is not None:
+            # np.savez appends '.npz' when missing; normalize once so
+            # restore_checkpoint(same_path) finds the file
+            checkpoint_path = self._norm_ckpt_path(checkpoint_path)
             user_cb = kwargs.pop('callback', None)
 
             def _ckpt_cb(step, loss, params):
@@ -486,6 +506,26 @@ class LCGP:
 
         mesh = kwargs.pop('mesh', None)
         if mesh is not None:
+            axes = tuple(mesh.axis_names)
+            if axes == ('n',):
+                # n-axis distributed path: loss/grad via the blocked
+                # distributed Cholesky (parallel/nshard.py); callbacks
+                # (incl. checkpointing) work — the optimizer loop is the
+                # same host-synced one as single-device.
+                return self._fit_nsharded(mesh, verbose=verbose,
+                                          method=method, **kwargs)
+            if axes != ('comp', 'out'):
+                raise ValueError(
+                    f"fit(mesh=...) needs axis names ('n',) or "
+                    f"('comp', 'out'); got {axes!r}.  Build one with "
+                    "parallel.make_mesh or parallel.nshard.make_n_mesh.")
+            if checkpoint_path is not None:
+                import warnings
+                warnings.warn(
+                    "fit(mesh=...) on the ('comp','out') mesh runs without "
+                    'host-sync callbacks: checkpoint_path is ignored '
+                    "(use the ('n',) mesh or single-device fit for "
+                    'mid-fit checkpointing)', stacklevel=2)
             kwargs.pop('callback', None)   # sharded loop has no host sync cb
             from .. import parallel
             free, _ = parallel.fit_sharded(self._data, self._free, mesh,
@@ -500,9 +540,16 @@ class LCGP:
             if self.n >= self._AUTO_ONDEVICE_N:
                 if self.precision == 'fast':
                     method = 'lbfgs-jax'
+                    kwargs.setdefault('plateau_rtol', 1e-8)
                 else:
+                    # convergence-based stop instead of a hand-tuned
+                    # maxiter: halt when the relative loss decrease over
+                    # the last `plateau_patience` iters drops below
+                    # plateau_rtol; maxiter stays only as a safety cap.
                     method = 'scipy'
-                    kwargs.setdefault('maxiter', 300)
+                    kwargs.setdefault('plateau_patience', 20)
+                    kwargs.setdefault('plateau_rtol', 1e-8)
+                    kwargs.setdefault('maxiter', 2000)
             else:
                 method = 'scipy'
             if verbose or self.verbose:
@@ -515,8 +562,11 @@ class LCGP:
             # the convergence in model precision, so cap the cheap stage
             kwargs.setdefault('maxiter', 200)
             res1 = minimize_lbfgs_jax(fast_loss, self._free, **kwargs)
+            # the f64 polish keeps the callback (checkpointing covers the
+            # expensive stage too, ADVICE r2)
             res = minimize_lbfgs_jax(self._loss_fn(), res1.params,
-                                     maxiter=polish_maxiter)
+                                     maxiter=polish_maxiter,
+                                     callback=kwargs.get('callback'))
             self._free = res.params
             self._params_version += 1
             self._fit_result = res
@@ -534,12 +584,27 @@ class LCGP:
         self._free = res.params
         self._params_version += 1
         self._fit_result = res
+        reason = getattr(res, 'stop_reason', None)
+        if reason == 'cap':
+            # always announce a budget-capped stop (never silent, ADVICE r2)
+            print(f'[lcgp_tpu.fit] stopped on the iteration cap '
+                  f'(nit={int(res.nit)}) before convergence; pass maxiter= '
+                  'to raise the budget or method="scipy" for an uncapped '
+                  'parity run.')
+        elif (verbose or self.verbose) and reason is not None:
+            print(f'[lcgp_tpu.fit] converged: stop_reason={reason!r} '
+                  f'nit={int(res.nit)} loss={float(res.fun):.8g}')
         return
+
+    @staticmethod
+    def _norm_ckpt_path(path):
+        path = str(path)
+        return path if path.endswith('.npz') else path + '.npz'
 
     def restore_checkpoint(self, path):
         """Load free parameters from a fit(checkpoint_path=...) snapshot;
         returns (step, loss) recorded at the snapshot."""
-        z = np.load(path, allow_pickle=False)
+        z = np.load(self._norm_ckpt_path(path), allow_pickle=False)
         self._free = P.FreeParams(jnp.asarray(z['free_lLmb']),
                                   jnp.asarray(z['free_lLmb0']),
                                   jnp.asarray(z['free_lsigma2s']),

@@ -128,7 +128,10 @@ def _dist_chol_logdet_local(Lblk, ndev: int):
     zero = jnp.zeros((), dtype=idx.dtype)
     mine = lax.dynamic_slice(Lblk, (zero, zero, idx * nb), (q, nb, nb))
     d = jnp.diagonal(mine, axis1=-2, axis2=-1)
-    return lax.psum(2.0 * jnp.sum(jnp.log(d), axis=-1), AXIS)
+    # n-length log-sum accumulates in f64 even for f32 factors, matching
+    # linalg.chol_logdet (f32 sums starve the optimizer of loss signal)
+    return lax.psum(2.0 * jnp.sum(jnp.log(d).astype(jnp.float64), axis=-1),
+                    AXIS)
 
 
 def dist_cholesky(mesh: Mesh, A):
