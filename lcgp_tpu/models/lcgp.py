@@ -159,6 +159,10 @@ class LCGP:
         self._params_version = 0
         self._aux = None
         self._aux_version = -1
+        # ('n',)-mesh for n-axis distributed execution (set by
+        # fit(mesh=...) or set_mesh); loss/fit/aux/predict all route
+        # through parallel/nshard when present.
+        self._n_mesh = None
 
         self._data = self._build_data()
 
@@ -388,6 +392,12 @@ class LCGP:
             return sparse.neglpost_full_fitc(
                 self._free, self._data, self._z,
                 compute_dtype=self._compute_dtype, kernel=self.kernel)
+        if self._n_mesh is not None:
+            from ..parallel import nshard
+            return nshard.neglpost_full_nsharded(
+                self._free, self._data, self._n_mesh,
+                compute_dtype=self._compute_dtype, jitter=self._jitter,
+                kernel=self.kernel)
         return lik.neglpost_full(self._free, self._data,
                                  compute_dtype=self._compute_dtype,
                                  jitter=self._jitter, q_chunk=self.q_chunk,
@@ -399,10 +409,33 @@ class LCGP:
             return sparse.neglpost_rep_fitc(
                 self._free, self._data, self._z,
                 compute_dtype=self._compute_dtype, kernel=self.kernel)
+        if self._n_mesh is not None:
+            from ..parallel import nshard
+            return nshard.neglpost_rep_nsharded(
+                self._free, self._data, self._n_mesh,
+                compute_dtype=self._compute_dtype, jitter=self._jitter,
+                kernel=self.kernel)
         return lik.neglpost_rep(self._free, self._data,
                                 compute_dtype=self._compute_dtype,
                                 jitter=self._jitter, q_chunk=self.q_chunk,
                                 kernel=self.kernel)
+
+    def set_mesh(self, mesh):
+        """Attach (or detach with None) an ('n',) device mesh: subsequent
+        loss/fit/aux/predict run n-axis distributed (parallel/nshard).
+        The exact single-chip path caps around n≈12-13k f64 on a v5e
+        (_auto_q_chunk's HBM model); the n-sharded path scales that limit
+        linearly with the mesh size."""
+        if mesh is not None and tuple(mesh.axis_names) != ('n',):
+            raise ValueError(
+                f"set_mesh needs an ('n',) mesh (parallel.nshard."
+                f"make_n_mesh); got axis names {tuple(mesh.axis_names)!r}")
+        if mesh is not None and self._z is not None:
+            raise ValueError('inducing-point (FITC) models are m-bounded; '
+                             'n-sharding does not apply')
+        self._n_mesh = mesh
+        self._aux = None
+        self._aux_version = -1
 
     def _loss_fn(self, compute_dtype='model', jitter=None):
         """Loss closure; compute_dtype/jitter default to the model's
@@ -571,7 +604,10 @@ class LCGP:
             self._params_version += 1
             self._fit_result = res
             return
-        loss_fn = self._loss_fn()
+        self._run_optimizer(self._loss_fn(), method, verbose, **kwargs)
+        return
+
+    def _run_optimizer(self, loss_fn, method, verbose, **kwargs):
         if method == 'scipy':
             res = minimize_lbfgs(loss_fn, self._free,
                                  verbose=verbose or self.verbose, **kwargs)
@@ -594,7 +630,35 @@ class LCGP:
         elif (verbose or self.verbose) and reason is not None:
             print(f'[lcgp_tpu.fit] converged: stop_reason={reason!r} '
                   f'nit={int(res.nit)} loss={float(res.fun):.8g}')
-        return
+        return res
+
+    def _fit_nsharded(self, mesh, verbose=False, method='auto', **kwargs):
+        """Fit with the n axis distributed over an ('n',) mesh.
+
+        The loss/gradient run through parallel/nshard's distributed blocked
+        Cholesky with its memory-bounded custom-VJP backward; the optimizer
+        loop (and callbacks, incl. checkpointing) is the same host-synced
+        one as single-device fit.  Also arms the model's n-sharded
+        aux/predict path (set_mesh).
+        """
+        self.set_mesh(mesh)
+        from ..parallel import nshard
+        loss_fn = nshard.make_loss(self.submethod, self._data, mesh,
+                                   compute_dtype=self._compute_dtype,
+                                   jitter=self._jitter, kernel=self.kernel)
+        if method == 'auto':
+            if self.precision == 'fast':
+                method = 'lbfgs-jax'
+                kwargs.setdefault('plateau_rtol', 1e-8)
+            else:
+                method = 'scipy'
+                kwargs.setdefault('plateau_patience', 20)
+                kwargs.setdefault('plateau_rtol', 1e-8)
+                kwargs.setdefault('maxiter', 2000)
+            if verbose or self.verbose:
+                print(f'[lcgp_tpu.fit] n-sharded over {mesh.devices.size} '
+                      f'devices; auto-selected method={method!r}')
+        return self._run_optimizer(loss_fn, method, verbose, **kwargs)
 
     @staticmethod
     def _norm_ckpt_path(path):
@@ -627,6 +691,12 @@ class LCGP:
                 self._aux = sparse.compute_aux_fitc(
                     self._free, self._data, self._z, self.submethod,
                     compute_dtype=aux_dtype, kernel=self.kernel)
+            elif self._n_mesh is not None:
+                from ..parallel import nshard
+                self._aux = nshard.compute_aux_nsharded(
+                    self._free, self._data, self._n_mesh,
+                    compute_dtype=aux_dtype, jitter=self._jitter,
+                    kernel=self.kernel)
             elif self.submethod == 'rep':
                 self._aux = pred.compute_aux_rep(
                     self._free, self._data, compute_dtype=aux_dtype,
@@ -648,11 +718,30 @@ class LCGP:
         self._aux = None
         self._ensure_aux()
 
+    @staticmethod
+    def _is_nshard_aux(aux):
+        from ..parallel.nshard import NShardAux
+        return isinstance(aux, NShardAux)
+
     @property
     def CinvMs(self):
         aux = self._ensure_aux()
-        # FITC aux stores the dual weights as ``u``
-        return aux.CinvM if hasattr(aux, 'CinvM') else aux.u
+        if hasattr(aux, 'CinvM'):
+            return aux.CinvM
+        if self._is_nshard_aux(aux):
+            # distributed dual weights: trim the mesh padding (gathers)
+            return aux.u[:, :int(self.n)]
+        return aux.u          # FITC aux stores the dual weights as ``u``
+
+    def _dense_factor(self, aux):
+        """The (q, n, n) Cholesky factor regardless of execution mode.
+        For n-sharded aux this gathers and trims the padding — the
+        leading principal block of the padded factor IS the unpadded
+        factor (pad rows are decoupled identity rows)."""
+        if self._is_nshard_aux(aux):
+            n = int(self.n)
+            return aux.L[:, :n, :n]
+        return aux.LB if hasattr(aux, 'LB') else aux.LT
 
     @property
     def Ths(self):
@@ -666,7 +755,8 @@ class LCGP:
         if self.submethod == 'rep' or self._z is not None:
             return None
         aux = self._ensure_aux()
-        B = aux.LB @ jnp.swapaxes(aux.LB, -1, -2)      # (q, n, n)
+        LB = self._dense_factor(aux)
+        B = LB @ jnp.swapaxes(LB, -1, -2)              # (q, n, n)
         wB, U = jnp.linalg.eigh(B)                     # B = U diag(wB) U^T
         scal = jnp.sqrt(self.diag_D[:, None].astype(wB.dtype) / wB)
         return jnp.einsum('qij,qj,qkj->qik', U, scal, U)
@@ -680,9 +770,10 @@ class LCGP:
         if self.submethod != 'rep' or self._z is not None:
             return None
         aux = self._ensure_aux()
-        n = aux.LT.shape[-1]
-        eye = jnp.broadcast_to(jnp.eye(n, dtype=aux.LT.dtype), aux.LT.shape)
-        return lk_linalg.cho_solve(aux.LT, eye)
+        LT = self._dense_factor(aux)
+        n = LT.shape[-1]
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=LT.dtype), LT.shape)
+        return lk_linalg.cho_solve(LT, eye)
 
     @property
     def LBs(self):
@@ -690,26 +781,32 @@ class LCGP:
         actually use (Th_k^2 = D_k (I + D_k C_k)^{-1})."""
         if self.submethod == 'rep' or self._z is not None:
             return None
-        return self._ensure_aux().LB
+        return self._dense_factor(self._ensure_aux())
 
     @property
     def LTs(self):
         """Rep path: chol(C_k + diag(1/(d_k r))) stack."""
         if self.submethod != 'rep' or self._z is not None:
             return None
-        return self._ensure_aux().LT
+        return self._dense_factor(self._ensure_aux())
 
     @property
     def mks(self):
         if self.submethod != 'rep' or self._z is not None:
             return None
-        return self._ensure_aux().mks
+        aux = self._ensure_aux()
+        if self._is_nshard_aux(aux):
+            return None       # diagnostic not materialized distributed
+        return aux.mks
 
     @property
     def psi_c(self):
         if self.submethod != 'rep' or self._z is not None:
             return None
-        return self._ensure_aux().psi_c
+        aux = self._ensure_aux()
+        if self._is_nshard_aux(aux):
+            return None
+        return aux.psi_c
 
     def predict(self, x0, return_fullcov: bool = False,
                 batch_size: Optional[int] = None):
@@ -757,6 +854,12 @@ class LCGP:
             return sparse.predict_fitc_core(
                 self._free, self._data, aux, self._z, x0s,
                 compute_dtype=self._compute_dtype, kernel=self.kernel)
+        if self._n_mesh is not None:
+            from ..parallel import nshard
+            return nshard.predict_nsharded_core(
+                self._free, self._data, aux, x0s, self._n_mesh,
+                compute_dtype=self._compute_dtype, jitter=self._jitter,
+                kernel=self.kernel)
         core = (pred.predict_rep_core if self.submethod == 'rep'
                 else pred.predict_full_core)
         return core(self._free, self._data, aux, x0s,

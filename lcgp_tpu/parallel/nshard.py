@@ -11,32 +11,41 @@ longer fits one chip.  This module shards the *design-point* axis n:
   rows inside ``shard_map``, with exactly two small collectives per panel
   step (a psum of the (q, nb, nb) diagonal block and an all_gather of the
   panel column) riding ICI;
-- blocked forward/back substitution and the logdet come from the same
-  distributed factor;
-- :func:`neglpost_full_nsharded` evaluates the full-data loss (reference
-  lcgp.py:635-666 semantics, identical to ``likelihood.neglpost_full``)
-  without any device ever materializing a whole (n, n) Gram.
+- blocked forward/back substitution (single- and multi-RHS) and the
+  logdet come from the same distributed factor;
+- :func:`neglpost_full_nsharded` / :func:`neglpost_rep_nsharded` evaluate
+  the training losses (reference lcgp.py:635-666 / 554-630 semantics,
+  identical to ``likelihood.neglpost_*``) without any device ever
+  materializing a whole (n, n) Gram — **including the backward**: both
+  losses carry custom VJPs mirroring ``models/likelihood.py`` (closed-form
+  gradient from the saved distributed factor + one solve vector), so the
+  per-device backward working set is O(q · n/ndev · n) instead of
+  autodiff-through-the-unrolled-factorization's ~ndev× that;
+- :func:`compute_aux_nsharded` + :func:`predict_nsharded_core` are the
+  n-sharded predictive path (the factor stays row-distributed; the
+  (q, n, n0) cross-covariance solve is a distributed multi-RHS forward
+  substitution), so a model whose training needed n-sharding can also
+  predict.
 
 The panel loop is a static Python loop of length ndev — under jit it
-unrolls into a fixed program (no data-dependent control flow), and
-autodiff through the psum/all_gather collectives gives gradients with the
-same n-sharded layout.
+unrolls into a fixed program (no data-dependent control flow).
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models import params as Pm
 from ..models.likelihood import FullData, RepData
-from ..ops.gram import gram_stack
+from ..ops.gram import gram_stack, gram_vjp
+from ..ops.matern import matern32_diag
 
 AXIS = 'n'
 
@@ -51,6 +60,14 @@ def make_n_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
 
 def _is_mine(idx, k):
     return jnp.where(idx == k, 1.0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Distributed factorization / substitution primitives (shard_map bodies).
+# Layout convention: (q, nb, n) = this device's block of rows of a (q, n, n)
+# stack; (q, nb, m) = this device's block of rows of (q, n, m) right-hand
+# sides.  nb * ndev == n always (callers pad).
+# ---------------------------------------------------------------------------
 
 
 def _dist_cholesky_local(Ablk, ndev: int):
@@ -88,37 +105,74 @@ def _dist_cholesky_local(Ablk, ndev: int):
     return L
 
 
-def _dist_cho_solve_vec_local(Lblk, bblk, ndev: int):
-    """Solve (L L^T) x = b with the distributed factor; b block-local (q, nb)."""
+def _dist_solve_rows_local(Lblk, Bblk, ndev: int, transpose: bool = False):
+    """Triangular solve with the distributed factor, multi-RHS.
+
+    L Y = B (transpose=False) or L^T Y = B (transpose=True), where B's
+    block-rows are distributed: Bblk (q, nb, m) is my rows.  Returns my
+    rows of Y.  Block forward (resp. backward) substitution; per step one
+    psum broadcasts the owner's diagonal/rhs blocks.
+    """
     q, nb, n = Lblk.shape
     idx = lax.axis_index(AXIS)
-    # forward substitution: y_k = Lkk^{-1} (b_k - sum_{j<k} L_kj y_j)
-    y = jnp.zeros_like(bblk)
-    acc = jnp.zeros_like(bblk)
-    for k in range(ndev):
-        cols = slice(k * nb, (k + 1) * nb)
-        diag = lax.psum(_is_mine(idx, k) * Lblk[:, :, cols], AXIS)
-        rhs = lax.psum(_is_mine(idx, k) * (bblk - acc), AXIS)
-        yk = lax.linalg.triangular_solve(
-            diag, rhs[..., None], left_side=True, lower=True)[..., 0]
-        y = jnp.where(idx == k, yk, y)
-        if k + 1 < ndev:
-            acc = acc + jnp.where(idx > k, 1.0, 0.0) * \
-                jnp.einsum('qab,qb->qa', Lblk[:, :, cols], yk)
-    # back substitution: x_k = Lkk^{-T} (y_k - sum_{j>k} L_jk^T x_j)
-    x = jnp.zeros_like(y)
+    if not transpose:
+        y = jnp.zeros_like(Bblk)
+        acc = jnp.zeros_like(Bblk)
+        for k in range(ndev):
+            cols = slice(k * nb, (k + 1) * nb)
+            diag = lax.psum(_is_mine(idx, k) * Lblk[:, :, cols], AXIS)
+            rhs = lax.psum(_is_mine(idx, k) * (Bblk - acc), AXIS)
+            yk = lax.linalg.triangular_solve(
+                diag, rhs, left_side=True, lower=True)
+            y = jnp.where(idx == k, yk, y)
+            if k + 1 < ndev:
+                acc = acc + jnp.where(idx > k, 1.0, 0.0) * \
+                    jnp.einsum('qab,qbm->qam', Lblk[:, :, cols], yk)
+        return y
+    x = jnp.zeros_like(Bblk)
     for k in reversed(range(ndev)):
         cols = slice(k * nb, (k + 1) * nb)
+        # sum_{j>k} L_jk^T x_j: device j holds L's block (j, k) in its rows
         contrib = jnp.where(idx > k, 1.0, 0.0) * \
-            jnp.einsum('qab,qa->qb', Lblk[:, :, cols], x)
+            jnp.einsum('qab,qam->qbm', Lblk[:, :, cols], x)
         s = lax.psum(contrib, AXIS)
         diag = lax.psum(_is_mine(idx, k) * Lblk[:, :, cols], AXIS)
-        rhs = lax.psum(_is_mine(idx, k) * y, AXIS) - s
+        rhs = lax.psum(_is_mine(idx, k) * Bblk, AXIS) - s
         xk = lax.linalg.triangular_solve(
-            diag, rhs[..., None], left_side=True, lower=True,
-            transpose_a=True)[..., 0]
+            diag, rhs, left_side=True, lower=True, transpose_a=True)
         x = jnp.where(idx == k, xk, x)
     return x
+
+
+def _dist_cho_solve_rows_local(Lblk, Bblk, ndev: int):
+    """(L L^T)^{-1} B with B's block-rows distributed; (q, nb, m) local."""
+    y = _dist_solve_rows_local(Lblk, Bblk, ndev, transpose=False)
+    return _dist_solve_rows_local(Lblk, y, ndev, transpose=True)
+
+
+def _dist_cho_solve_vec_local(Lblk, bblk, ndev: int):
+    """Solve (L L^T) x = b with the distributed factor; b block-local (q, nb)."""
+    return _dist_cho_solve_rows_local(Lblk, bblk[..., None], ndev)[..., 0]
+
+
+def _eye_rows(idx, nb: int, n: int, dtype):
+    """My (nb, n) block of rows of the n×n identity."""
+    rows_global = idx * nb + jnp.arange(nb)
+    return (jnp.arange(n)[None, :] == rows_global[:, None]).astype(dtype)
+
+
+def _dist_chol_inverse_rows_local(Lblk, ndev: int):
+    """My (q, nb, n) rows of (L L^T)^{-1} from the distributed factor.
+
+    One distributed multi-RHS cho_solve against the identity whose rows are
+    naturally distributed; by symmetry of the inverse, the result rows are
+    exact.  Per-device transient: O(q · nb · n), same as the factor block.
+    """
+    q, nb, n = Lblk.shape
+    idx = lax.axis_index(AXIS)
+    eye_blk = jnp.broadcast_to(_eye_rows(idx, nb, n, Lblk.dtype)[None],
+                               (q, nb, n))
+    return _dist_cho_solve_rows_local(Lblk, eye_blk, ndev)
 
 
 def _dist_chol_logdet_local(Lblk, ndev: int):
@@ -132,6 +186,12 @@ def _dist_chol_logdet_local(Lblk, ndev: int):
     # linalg.chol_logdet (f32 sums starve the optimizer of loss signal)
     return lax.psum(2.0 * jnp.sum(jnp.log(d).astype(jnp.float64), axis=-1),
                     AXIS)
+
+
+def _gather_vec(blk, n: int):
+    """all_gather a (q, nb)-sharded row vector to the full (q, n)."""
+    g = lax.all_gather(blk, AXIS)                    # (ndev, q, nb)
+    return jnp.moveaxis(g, 0, 1).reshape(blk.shape[0], n)
 
 
 def dist_cholesky(mesh: Mesh, A):
@@ -157,6 +217,25 @@ def dist_cho_solve_vec(mesh: Mesh, L, b):
     return fn(L, b)
 
 
+def dist_cho_solve(mesh: Mesh, L, B):
+    """Distributed (L L^T)^{-1} B, B (q, n, m) with rows sharded."""
+    ndev = mesh.devices.size
+    fn = jax.shard_map(
+        partial(_dist_cho_solve_rows_local, ndev=ndev), mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(None, AXIS, None)),
+        out_specs=P(None, AXIS, None))
+    return fn(L, B)
+
+
+def dist_chol_inverse(mesh: Mesh, L):
+    """Distributed (L L^T)^{-1}, returned row-sharded."""
+    ndev = mesh.devices.size
+    fn = jax.shard_map(
+        partial(_dist_chol_inverse_rows_local, ndev=ndev), mesh=mesh,
+        in_specs=P(None, AXIS, None), out_specs=P(None, AXIS, None))
+    return fn(L)
+
+
 def dist_chol_logdet(mesh: Mesh, L):
     ndev = mesh.devices.size
     fn = jax.shard_map(
@@ -166,7 +245,7 @@ def dist_chol_logdet(mesh: Mesh, L):
 
 
 # ---------------------------------------------------------------------------
-# n-sharded full-data loss
+# Shared local helpers for the losses / aux
 # ---------------------------------------------------------------------------
 
 def _pad_to(x, total, axis, fill=0.0):
@@ -178,53 +257,187 @@ def _pad_to(x, total, axis, fill=0.0):
     return jnp.pad(x, widths, constant_values=fill)
 
 
-def _nshard_loss_local(xblk, yblk, mblk, a_blk, lLmb, lLmb0, lnug, D,
-                       *, ndev, jitter, kernel, compute_dtype):
-    """Per-device body: build my Gram rows, distributed factor/solve, local
-    partial loss terms.  mblk masks padded rows (1 real, 0 pad)."""
+def _local_gram_rows(xblk, mblk, lLmb, lLmb0, lnug, *, ndev, kernel,
+                     compute_dtype):
+    """My (q, nb, n) rows of the masked nugget-included Gram stack.
+
+    Cross-build against the all_gathered x plus the nugget diagonal on my
+    global rows reproduces the kernel's same=True semantics
+    (C = amp*((1-eta) C0 + eta I), reference covmat.py:45-53); padded
+    rows/cols are zeroed via the mask.
+    """
     nb = xblk.shape[0]
     n = nb * ndev
     idx = lax.axis_index(AXIS)
-
     x_full = lax.all_gather(xblk, AXIS).reshape(n, xblk.shape[1])
     m_full = lax.all_gather(mblk, AXIS).reshape(n)
-    a_full = lax.all_gather(a_blk, AXIS, axis=1).reshape(a_blk.shape[0], n)
-
-    # my Gram rows: cross-build + nugget diagonal (the same=True semantics
-    # of the kernel: C = amp*((1-eta) C0 + eta I), reference covmat.py:45-53)
     C = gram_stack(xblk, x_full, lLmb, lLmb0, lnug, same=False,
                    compute_dtype=compute_dtype, kind=kernel)  # (q, nb, n)
-    rows_global = idx * nb + jnp.arange(nb)
-    eye_blk = (jnp.arange(n)[None, :] == rows_global[:, None]).astype(C.dtype)
+    eye_blk = _eye_rows(idx, nb, n, C.dtype)
     eta = (lnug / (1.0 + lnug)).astype(C.dtype)
     amp = lLmb0.astype(C.dtype)
     C = C + (amp * eta)[:, None, None] * eye_blk[None]
-    # zero padded rows/cols so B is block-diagonal with 1s on the pad diag
     C = C * mblk[None, :, None] * m_full[None, None, :]
+    return C, eye_blk, x_full, m_full
 
+
+def _local_gram_grads(xblk, x_full, mblk, m_full, eye_blk, lLmb, lLmb0,
+                      lnug, Cbar, *, kernel):
+    """psum-reduced (glens, gamp, gnug) for a row-local Gram cotangent.
+
+    Cbar is the cotangent of the *masked, nugget-included* local rows;
+    the cross part chains through the analytic kernel VJP, the manual
+    nugget diagonal through its closed form.
+    """
+    Cbar = Cbar * mblk[None, :, None] * m_full[None, None, :]
+    glens, gamp, gnug = gram_vjp(xblk, x_full, lLmb, lLmb0, lnug,
+                                 same=False, cbar=Cbar, kind=kernel)
+    # nugget diagonal: forward added amp*eta on my global diag entries
+    dt = Cbar.dtype
+    s = jnp.sum(Cbar * eye_blk[None].astype(dt), axis=(-2, -1))   # (q,)
+    eta = (lnug / (1.0 + lnug)).astype(dt)
+    amp = lLmb0.astype(dt)
+    gamp = gamp + (eta * s).astype(gamp.dtype)
+    gnug = gnug + (amp * s / jnp.square(1.0 + lnug.astype(dt))
+                   ).astype(gnug.dtype)
+    return (lax.psum(glens, AXIS), lax.psum(gamp, AXIS),
+            lax.psum(gnug, AXIS))
+
+
+# ---------------------------------------------------------------------------
+# n-sharded full-data loss (custom VJP — memory-bounded backward)
+# ---------------------------------------------------------------------------
+
+def _nshard_full_fwd_local(xblk, mblk, a_blk, lLmb, lLmb0, lnug, D,
+                           *, ndev, jitter, kernel, compute_dtype):
+    """Per-device forward: my Gram rows -> distributed factor/solve ->
+    per-component loss terms.  Returns (terms, LB rows, w rows)."""
+    nb = xblk.shape[0]
+    idx = lax.axis_index(AXIS)
+    C, eye_blk, x_full, m_full = _local_gram_rows(
+        xblk, mblk, lLmb, lLmb0, lnug, ndev=ndev, kernel=kernel,
+        compute_dtype=compute_dtype)
     Dm = D.astype(C.dtype)
     diag_vals = 1.0 + jitter * mblk                     # pad diag stays 1
-    B = Dm[:, None, None] * C + diag_vals[None, :, None] * eye_blk[None]
-
+    B = Dm[:, None, None] * C + diag_vals[None, :, None].astype(C.dtype) \
+        * eye_blk[None]
     LB = _dist_cholesky_local(B, ndev)
     w = _dist_cho_solve_vec_local(LB, a_blk.astype(LB.dtype), ndev)
     # C a = (B a - (1+jitter) a) / D, avoiding a second stack
-    Ba = jnp.einsum('qab,qb->qa', B, a_full.astype(B.dtype))
+    a_full = _gather_vec(a_blk, B.shape[-1]).astype(B.dtype)
+    Ba = jnp.einsum('qab,qb->qa', B, a_full)
     Ca = (Ba - (1.0 + jitter) * a_blk.astype(B.dtype)) / Dm[:, None]
-    quad = lax.psum(jnp.sum(Ca * w, axis=-1), AXIS)
+    quad = lax.psum(jnp.sum((Ca * w).astype(jnp.float64), axis=-1), AXIS)
     logdet = _dist_chol_logdet_local(LB, ndev)
-    terms = 0.5 * logdet - 0.5 * quad                   # (q,)
-    return jnp.sum(terms)
+    terms = 0.5 * logdet - 0.5 * quad                   # (q,) f64
+    return terms, LB, w
+
+
+def _nshard_full_bwd_local(xblk, mblk, a_blk, lLmb, lLmb0, lnug, D,
+                           LBblk, wblk, tbar,
+                           *, ndev, jitter, kernel, compute_dtype):
+    """Closed-form backward (mirrors likelihood._full_terms_vjp_bwd):
+    dt/dC = 0.5 D B^{-1} - 0.5 w w^T, dt/da = -C w, from the saved
+    distributed factor — per-device working set stays O(q·nb·n)."""
+    q, nb, n = LBblk.shape
+    idx = lax.axis_index(AXIS)
+    dt = LBblk.dtype
+    x_full = lax.all_gather(xblk, AXIS).reshape(n, xblk.shape[1])
+    m_full = lax.all_gather(mblk, AXIS).reshape(n)
+    eye_blk = _eye_rows(idx, nb, n, dt)
+    w_full = _gather_vec(wblk, n)
+    Binv_rows = _dist_chol_inverse_rows_local(LBblk, ndev)
+    tb = tbar.astype(dt)
+    Dm = D.astype(dt)
+    # total dt/dC (chain through B = D C + (1+jit) I already folded in,
+    # exactly as likelihood._full_terms_vjp_bwd)
+    Cbar = tb[:, None, None] * (0.5 * Dm[:, None, None] * Binv_rows
+                                - 0.5 * wblk[:, :, None] * w_full[:, None, :])
+    glens, gamp, gnug = _local_gram_grads(
+        xblk, x_full, mblk, m_full, eye_blk, lLmb, lLmb0, lnug, Cbar,
+        kernel=kernel)
+    # C w = (a - (1+jitter) w) / D (from B w = a)
+    Cw = (a_blk.astype(dt) - (1.0 + jitter) * wblk) / Dm[:, None]
+    abar = (-tb[:, None] * Cw).astype(a_blk.dtype)
+    return (jnp.zeros_like(xblk), jnp.zeros_like(mblk), abar,
+            glens.astype(lLmb.dtype), gamp.astype(lLmb0.dtype),
+            gnug.astype(lnug.dtype), jnp.zeros_like(D))
+
+
+def _shmap_full_fwd(mesh, ndev, jitter, kernel, compute_dtype):
+    body = partial(_nshard_full_fwd_local, ndev=ndev, jitter=jitter,
+                   kernel=kernel, compute_dtype=compute_dtype)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
+                  P(None, None), P(None), P(None), P(None)),
+        out_specs=(P(), P(None, AXIS, None), P(None, AXIS)))
+
+
+def _shmap_full_bwd(mesh, ndev, jitter, kernel, compute_dtype):
+    body = partial(_nshard_full_bwd_local, ndev=ndev, jitter=jitter,
+                   kernel=kernel, compute_dtype=compute_dtype)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
+                  P(None, None), P(None), P(None), P(None),
+                  P(None, AXIS, None), P(None, AXIS), P(None)),
+        out_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
+                   P(None, None), P(None), P(None), P(None)))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _full_terms_nsharded(mesh, jitter, kernel, compute_dtype,
+                         xs, mask, a, lLmb, lLmb0, lnug, D):
+    ndev = mesh.devices.size
+    terms, _, _ = _shmap_full_fwd(mesh, ndev, jitter, kernel, compute_dtype)(
+        xs, mask, a, lLmb, lLmb0, lnug, D)
+    return terms
+
+
+def _full_terms_nsharded_fwd(mesh, jitter, kernel, compute_dtype,
+                             xs, mask, a, lLmb, lLmb0, lnug, D):
+    ndev = mesh.devices.size
+    terms, LB, w = _shmap_full_fwd(mesh, ndev, jitter, kernel,
+                                   compute_dtype)(
+        xs, mask, a, lLmb, lLmb0, lnug, D)
+    return terms, (xs, mask, a, lLmb, lLmb0, lnug, D, LB, w)
+
+
+def _full_terms_nsharded_bwd(mesh, jitter, kernel, compute_dtype, res, tbar):
+    xs, mask, a, lLmb, lLmb0, lnug, D, LB, w = res
+    ndev = mesh.devices.size
+    out = _shmap_full_bwd(mesh, ndev, jitter, kernel, compute_dtype)(
+        xs, mask, a, lLmb, lLmb0, lnug, D, LB, w, tbar)
+    return out
+
+
+_full_terms_nsharded.defvjp(_full_terms_nsharded_fwd, _full_terms_nsharded_bwd)
+
+
+def _full_terms_nsharded_raw(mesh, jitter, kernel, compute_dtype,
+                             xs, mask, a, lLmb, lLmb0, lnug, D):
+    """The same forward WITHOUT the custom VJP — autodiff goes through the
+    unrolled distributed factorization.  Exists only for the memory A/B
+    (benchmarks/nshard_memory.py, tests): every panel iteration's
+    intermediates become backward residuals, per device."""
+    ndev = mesh.devices.size
+    terms, _, _ = _shmap_full_fwd(mesh, ndev, jitter, kernel, compute_dtype)(
+        xs, mask, a, lLmb, lLmb0, lnug, D)
+    return terms
 
 
 def neglpost_full_nsharded(free: Pm.FreeParams, data: FullData, mesh: Mesh,
                            compute_dtype=None, jitter: float = 0.0,
-                           kernel: str = 'matern32'):
+                           kernel: str = 'matern32',
+                           _custom_vjp: bool = True):
     """Full-data loss with the n axis sharded over the mesh.
 
     Semantics identical to ``likelihood.neglpost_full`` (reference
     lcgp.py:635-666); n is padded to a multiple of the mesh size with
     loss-neutral rows (C zeroed, unit diagonal, zero data weight).
+    _custom_vjp=False switches to plain autodiff through the unrolled
+    distributed factorization (memory A/B only).
     """
     ndev = mesh.devices.size
     n = data.xs.shape[0]
@@ -238,58 +451,122 @@ def neglpost_full_nsharded(free: Pm.FreeParams, data: FullData, mesh: Mesh,
     a = (data.ys.T @ psi_c).T                               # (q, n)
 
     xs = _pad_to(data.xs, n_pad, axis=0, fill=0.5)
-    ys = _pad_to(data.ys, n_pad, axis=1)
     mask = _pad_to(jnp.ones((n,), dtype=data.xs.dtype), n_pad, axis=0)
     a = _pad_to(a, n_pad, axis=1)
 
-    body = partial(_nshard_loss_local, ndev=ndev, jitter=jitter,
-                   kernel=kernel, compute_dtype=compute_dtype)
-    fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(None, AXIS), P(AXIS), P(None, AXIS),
-                  P(None, None), P(None), P(None), P(None)),
-        out_specs=P())
-    comp_terms = fn(xs, ys, mask, a, lLmb, lLmb0, lnug, data.diag_D)
+    terms_fn = _full_terms_nsharded if _custom_vjp else \
+        _full_terms_nsharded_raw
+    terms = terms_fn(mesh, jitter, kernel, compute_dtype,
+                     xs, mask, a, lLmb, lLmb0, lnug, data.diag_D)
 
-    nlp = comp_terms.astype(data.ys.dtype)
+    nlp = jnp.sum(terms).astype(data.ys.dtype)
     nlp += 0.5 * n * jnp.sum(lsig)
     nlp += 0.5 * jnp.sum(jnp.square(data.ys / jnp.sqrt(sigma)[:, None]))
     return nlp
 
 
-def _nshard_rep_local(xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0, lnug,
-                      *, ndev, kernel, compute_dtype):
-    """Rep-path per-device body: my rows of A = C + diag(lam + jit),
-    distributed factor/solve, per-component partial terms."""
-    nb = xblk.shape[0]
-    n = nb * ndev
-    idx = lax.axis_index(AXIS)
+# ---------------------------------------------------------------------------
+# n-sharded replication loss (custom VJP)
+# ---------------------------------------------------------------------------
 
-    x_full = lax.all_gather(xblk, AXIS).reshape(n, xblk.shape[1])
-    m_full = lax.all_gather(mblk, AXIS).reshape(n)
-
-    C = gram_stack(xblk, x_full, lLmb, lLmb0, lnug, same=False,
-                   compute_dtype=compute_dtype, kind=kernel)  # (q, nb, n)
-    rows_global = idx * nb + jnp.arange(nb)
-    eye_blk = (jnp.arange(n)[None, :] == rows_global[:, None]).astype(C.dtype)
-    eta = (lnug / (1.0 + lnug)).astype(C.dtype)
-    amp = lLmb0.astype(C.dtype)
-    C = C + (amp * eta)[:, None, None] * eye_blk[None]
-    C = C * mblk[None, :, None] * m_full[None, None, :]
-
+def _nshard_rep_fwd_local(xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0,
+                          lnug, *, ndev, kernel, compute_dtype):
+    """Rep-path per-device forward: my rows of A = C + diag(lam + jit),
+    distributed factor/solve, per-component partial terms.
+    Returns (terms, LT rows, u rows, Cu rows)."""
+    C, eye_blk, x_full, m_full = _local_gram_rows(
+        xblk, mblk, lLmb, lLmb0, lnug, ndev=ndev, kernel=kernel,
+        compute_dtype=compute_dtype)
     # padded rows get a clean unit diagonal (zero logdet/quad contribution)
     diag_vals = jnp.where(mblk[None, :] > 0,
                           lamblk.astype(C.dtype) + jit_q.astype(C.dtype),
                           1.0)                                # (q, nb)
     A = C + diag_vals[:, :, None] * eye_blk[None]
-
     LT = _dist_cholesky_local(A, ndev)
     lb = lamblk.astype(LT.dtype) * b_blk.astype(LT.dtype)
     u = _dist_cho_solve_vec_local(LT, lb, ndev)
-    Cu = lb - diag_vals * u
-    quad = lax.psum(jnp.sum(b_blk.astype(LT.dtype) * Cu, axis=-1), AXIS)
+    Cu = lb - diag_vals * u                                   # (S b) rows
+    quad = lax.psum(jnp.sum((b_blk.astype(LT.dtype) * Cu)
+                            .astype(jnp.float64), axis=-1), AXIS)
     logdet = _dist_chol_logdet_local(LT, ndev)
-    return jnp.sum(-0.5 * quad + 0.5 * logdet)
+    terms = -0.5 * quad + 0.5 * logdet                        # (q,) f64
+    return terms, LT, u, Cu
+
+
+def _nshard_rep_bwd_local(xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0,
+                          lnug, LTblk, ublk, Cublk, tbar,
+                          *, ndev, kernel, compute_dtype):
+    """Closed-form backward (mirrors likelihood._rep_terms_vjp_bwd):
+    dt/dC = 0.5 T - 0.5 u u^T with T = A^{-1}, dt/db = -C u."""
+    q, nb, n = LTblk.shape
+    idx = lax.axis_index(AXIS)
+    dt = LTblk.dtype
+    x_full = lax.all_gather(xblk, AXIS).reshape(n, xblk.shape[1])
+    m_full = lax.all_gather(mblk, AXIS).reshape(n)
+    eye_blk = _eye_rows(idx, nb, n, dt)
+    u_full = _gather_vec(ublk, n)
+    Tinv_rows = _dist_chol_inverse_rows_local(LTblk, ndev)
+    tb = tbar.astype(dt)
+    Cbar = tb[:, None, None] * (0.5 * Tinv_rows
+                                - 0.5 * ublk[:, :, None] * u_full[:, None, :])
+    glens, gamp, gnug = _local_gram_grads(
+        xblk, x_full, mblk, m_full, eye_blk, lLmb, lLmb0, lnug, Cbar,
+        kernel=kernel)
+    bbar = (-tb[:, None] * Cublk).astype(b_blk.dtype)
+    return (jnp.zeros_like(xblk), jnp.zeros_like(mblk),
+            jnp.zeros_like(lamblk), jnp.zeros_like(jit_q), bbar,
+            glens.astype(lLmb.dtype), gamp.astype(lLmb0.dtype),
+            gnug.astype(lnug.dtype))
+
+
+def _shmap_rep_fwd(mesh, ndev, kernel, compute_dtype):
+    body = partial(_nshard_rep_fwd_local, ndev=ndev, kernel=kernel,
+                   compute_dtype=compute_dtype)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
+                  P(None, AXIS), P(None, None), P(None), P(None)),
+        out_specs=(P(), P(None, AXIS, None), P(None, AXIS), P(None, AXIS)))
+
+
+def _shmap_rep_bwd(mesh, ndev, kernel, compute_dtype):
+    body = partial(_nshard_rep_bwd_local, ndev=ndev, kernel=kernel,
+                   compute_dtype=compute_dtype)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
+                  P(None, AXIS), P(None, None), P(None), P(None),
+                  P(None, AXIS, None), P(None, AXIS), P(None, AXIS),
+                  P(None)),
+        out_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
+                   P(None, AXIS), P(None, None), P(None), P(None)))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _rep_terms_nsharded(mesh, kernel, compute_dtype,
+                        xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug):
+    ndev = mesh.devices.size
+    terms, _, _, _ = _shmap_rep_fwd(mesh, ndev, kernel, compute_dtype)(
+        xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
+    return terms
+
+
+def _rep_terms_nsharded_fwd(mesh, kernel, compute_dtype,
+                            xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug):
+    ndev = mesh.devices.size
+    terms, LT, u, Cu = _shmap_rep_fwd(mesh, ndev, kernel, compute_dtype)(
+        xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
+    return terms, (xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug, LT, u, Cu)
+
+
+def _rep_terms_nsharded_bwd(mesh, kernel, compute_dtype, res, tbar):
+    xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug, LT, u, Cu = res
+    ndev = mesh.devices.size
+    return _shmap_rep_bwd(mesh, ndev, kernel, compute_dtype)(
+        xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug, LT, u, Cu, tbar)
+
+
+_rep_terms_nsharded.defvjp(_rep_terms_nsharded_fwd, _rep_terms_nsharded_bwd)
 
 
 def neglpost_rep_nsharded(free: Pm.FreeParams, data: RepData, mesh: Mesh,
@@ -332,17 +609,24 @@ def neglpost_rep_nsharded(free: Pm.FreeParams, data: RepData, mesh: Mesh,
     b = _pad_to(b, n_pad, axis=1)
     lam = _pad_to(lam, n_pad, axis=1, fill=1.0)
 
-    body = partial(_nshard_rep_local, ndev=ndev, kernel=kernel,
-                   compute_dtype=compute_dtype)
-    fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
-                  P(None, None), P(None, AXIS), P(None, None), P(None),
-                  P(None)),
-        out_specs=P())
-    comp_terms = fn(xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
-    nlp += comp_terms.astype(nlp.dtype)
+    comp_terms = _rep_terms_nsharded(mesh, kernel, compute_dtype,
+                                     xs, mask, lam, jit_q, b,
+                                     lLmb, lLmb0, lnug)
+    nlp += jnp.sum(comp_terms).astype(nlp.dtype)
     return nlp / n
+
+
+def make_loss(submethod: str, data, mesh: Mesh, compute_dtype=None,
+              jitter: float = 0.0, kernel: str = 'matern32'):
+    """loss(free) with data+mesh closed over (same contract as
+    likelihood.make_loss, n-sharded execution)."""
+    loss_fn = (neglpost_rep_nsharded if submethod == 'rep'
+               else neglpost_full_nsharded)
+
+    def loss(free):
+        return loss_fn(free, data, mesh, compute_dtype=compute_dtype,
+                       jitter=jitter, kernel=kernel)
+    return loss
 
 
 def make_nsharded_value_and_grad(mesh: Mesh, data,
@@ -350,10 +634,137 @@ def make_nsharded_value_and_grad(mesh: Mesh, data,
                                  kernel: str = 'matern32'):
     """jit(value_and_grad) of the n-sharded loss over the mesh (full or
     rep data)."""
-    loss_fn = (neglpost_rep_nsharded if isinstance(data, RepData)
-               else neglpost_full_nsharded)
-
-    def loss(free):
-        return loss_fn(free, data, mesh, compute_dtype=compute_dtype,
-                       jitter=jitter, kernel=kernel)
+    sub = 'rep' if isinstance(data, RepData) else 'full'
+    loss = make_loss(sub, data, mesh, compute_dtype=compute_dtype,
+                     jitter=jitter, kernel=kernel)
     return jax.jit(jax.value_and_grad(loss))
+
+
+# ---------------------------------------------------------------------------
+# n-sharded predictive path
+# ---------------------------------------------------------------------------
+
+class NShardAux(NamedTuple):
+    """Distributed predictive state: the factor stays row-sharded on the
+    mesh; ``u`` are the dual weights (CinvM), row-sharded."""
+    u: jnp.ndarray       # (q, n_pad) sharded over 'n'
+    L: jnp.ndarray       # (q, n_pad, n_pad) rows sharded over 'n'
+    kind: str = 'full'   # 'full' (L = chol(D C + (1+jit) I)) or
+    #                      'rep'  (L = chol(C + diag(lam + jit)))
+
+
+def _nshard_aux_full_local(xblk, mblk, a_blk, lLmb, lLmb0, lnug, D,
+                           *, ndev, jitter, kernel, compute_dtype):
+    _, LB, w = _nshard_full_fwd_local(
+        xblk, mblk, a_blk, lLmb, lLmb0, lnug, D, ndev=ndev, jitter=jitter,
+        kernel=kernel, compute_dtype=compute_dtype)
+    return w, LB
+
+
+def _nshard_aux_rep_local(xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0,
+                          lnug, *, ndev, kernel, compute_dtype):
+    _, LT, u, _ = _nshard_rep_fwd_local(
+        xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0, lnug, ndev=ndev,
+        kernel=kernel, compute_dtype=compute_dtype)
+    return u, LT
+
+
+def compute_aux_nsharded(free: Pm.FreeParams, data, mesh: Mesh,
+                         compute_dtype=None, jitter: float = 0.0,
+                         kernel: str = 'matern32') -> NShardAux:
+    """Distributed predictive aux (dual weights + row-sharded factor).
+
+    Full path: the same B = D C + (1+jitter) I factor as the loss;
+    u = B^{-1} a is exactly the CinvM of ``predict.compute_aux_full``.
+    Rep path: u = (C + Lam)^{-1} Lam b (``predict.compute_aux_rep``).
+    """
+    ndev = mesh.devices.size
+    n = data.xs.shape[0]
+    n_pad = -(-n // ndev) * ndev
+    lLmb, lLmb0, lsig_g, lnug = Pm.constrain(free)
+    lsig = Pm.expand_sigma(lsig_g, data.sigma_map)
+    sigma_raw = jnp.exp(lsig)
+
+    xs = _pad_to(data.xs, n_pad, axis=0, fill=0.5)
+    mask = _pad_to(jnp.ones((n,), dtype=data.xs.dtype), n_pad, axis=0)
+
+    if isinstance(data, RepData):
+        sigma_inv_sqrt = data.scale / jnp.sqrt(sigma_raw)
+        v = data.phi * sigma_inv_sqrt[:, None]
+        b = data.r[None, :] * (data.ybar.T @ v).T
+        lam = 1.0 / (data.diag_D[:, None] * data.r[None, :])
+        jit_q = jitter * (1.0 + lLmb0[:, None])
+        b = _pad_to(b, n_pad, axis=1)
+        lam = _pad_to(lam, n_pad, axis=1, fill=1.0)
+        body = partial(_nshard_aux_rep_local, ndev=ndev, kernel=kernel,
+                       compute_dtype=compute_dtype)
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
+                      P(None, AXIS), P(None, None), P(None), P(None)),
+            out_specs=(P(None, AXIS), P(None, AXIS, None)))
+        u, L = fn(xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
+        return NShardAux(u=u, L=L, kind='rep')
+
+    psi_c = data.phi / jnp.sqrt(sigma_raw)[:, None]
+    a = _pad_to((data.ys.T @ psi_c).T, n_pad, axis=1)
+    body = partial(_nshard_aux_full_local, ndev=ndev, jitter=jitter,
+                   kernel=kernel, compute_dtype=compute_dtype)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
+                  P(None, None), P(None), P(None), P(None)),
+        out_specs=(P(None, AXIS), P(None, AXIS, None)))
+    u, L = fn(xs, mask, a, lLmb, lLmb0, lnug, data.diag_D)
+    return NShardAux(u=u, L=L, kind='full')
+
+
+def _nshard_predict_local(xblk, mblk, Lblk, ublk, x0s, lLmb, lLmb0, lnug,
+                          *, ndev, kernel, compute_dtype):
+    """Per-device predict: my columns of the (q, n0, n) cross-cov against
+    my dual-weight rows (mean) and a distributed forward substitution for
+    the variance reduction.  Outputs replicated (q, n0)."""
+    c0 = gram_stack(x0s, xblk, lLmb, lLmb0, lnug, same=False,
+                    compute_dtype=compute_dtype, kind=kernel)  # (q, n0, nb)
+    c0 = c0 * mblk[None, None, :]
+    ghat = lax.psum(jnp.einsum('qob,qb->qo', c0, ublk.astype(c0.dtype)),
+                    AXIS)
+    M = _dist_solve_rows_local(Lblk, jnp.swapaxes(c0, -1, -2)
+                               .astype(Lblk.dtype), ndev)      # (q, nb, n0)
+    ssq = lax.psum(jnp.sum(jnp.square(M), axis=1), AXIS)       # (q, n0)
+    return ghat, ssq
+
+
+def predict_nsharded_core(free: Pm.FreeParams, data, aux: NShardAux,
+                          x0s, mesh: Mesh, compute_dtype=None,
+                          jitter: float = 0.0, kernel: str = 'matern32'):
+    """(ghat, gvar) at standardized x0s with the n axis distributed.
+
+    Matches ``predict.predict_full_core`` / ``predict_rep_core``:
+    full:  gvar = c00 - D * sum(M^2),  M = LB^{-1} c0^T
+    rep:   gvar = c00 - sum(M^2),      M = LT^{-1} c0^T
+    """
+    ndev = mesh.devices.size
+    n = data.xs.shape[0]
+    n_pad = aux.L.shape[-1]
+    lLmb, lLmb0, _, lnug = Pm.constrain(free)
+
+    xs = _pad_to(data.xs, n_pad, axis=0, fill=0.5)
+    mask = _pad_to(jnp.ones((n,), dtype=data.xs.dtype), n_pad, axis=0)
+
+    body = partial(_nshard_predict_local, ndev=ndev, kernel=kernel,
+                   compute_dtype=compute_dtype)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS, None),
+                  P(None, AXIS), P(None, None), P(None, None), P(None),
+                  P(None)),
+        out_specs=(P(), P()))
+    ghat, ssq = fn(xs, mask, aux.L, aux.u, x0s, lLmb, lLmb0, lnug)
+
+    c00 = matern32_diag(x0s, lLmb0).astype(ssq.dtype)
+    if aux.kind == 'full':
+        gvar = c00 - data.diag_D[:, None].astype(ssq.dtype) * ssq
+    else:
+        gvar = c00 - ssq
+    return ghat, gvar

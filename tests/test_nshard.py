@@ -153,3 +153,125 @@ class TestNShardedRepLoss:
                                           compute_dtype=jnp.float32,
                                           jitter=1e-6))
         np.testing.assert_allclose(got, expected, rtol=2e-4)
+
+
+class TestNShardEndToEnd:
+    """VERDICT r2 #1: n-sharding as an end-to-end model capability."""
+
+    def _xy(self, n=28, d=2, p=5, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(0, 1, (n, d))
+        y = np.vstack([np.sin(3 * x[:, 0]), np.cos(2 * x[:, 1]),
+                       x[:, 0] * x[:, 1], x.sum(1), (x ** 2).sum(1)])
+        return x, y + 0.05 * rng.standard_normal((p, n))
+
+    def test_predict_parity_full(self):
+        from lcgp_tpu import LCGP
+        x, y = self._xy()
+        rng = np.random.default_rng(1)
+        x0 = rng.uniform(0, 1, (9, 2))
+        m0 = LCGP(y=y, x=x, q=3)
+        m0.fit(method='scipy', maxiter=25)
+        ref = [np.asarray(a) for a in m0.predict(x0)]
+        m1 = LCGP(y=y, x=x, q=3)
+        m1._free = m0._free
+        m1._params_version += 1
+        m1.set_mesh(nshard.make_n_mesh(8))
+        got = [np.asarray(a) for a in m1.predict(x0)]
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-12)
+        # loss() also routes through the n-sharded path and agrees
+        np.testing.assert_allclose(float(m1.loss()), float(m0.loss()),
+                                   rtol=1e-10)
+
+    def test_predict_parity_rep(self):
+        from lcgp_tpu import LCGP, datasets
+        xtr, ytr, xte, _ = datasets.make_rep_data_skewed(seed=42)
+        m0 = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        m0.fit(method='scipy', maxiter=25)
+        ref = [np.asarray(a) for a in m0.predict(xte)]
+        m1 = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        m1._free = m0._free
+        m1._params_version += 1
+        m1.set_mesh(nshard.make_n_mesh(8))
+        got = [np.asarray(a) for a in m1.predict(xte)]
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(g, r, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(float(m1.loss()), float(m0.loss()),
+                                   rtol=1e-10)
+
+    def test_fit_through_api(self):
+        from lcgp_tpu import LCGP
+        x, y = self._xy(seed=3)
+        m = LCGP(y=y, x=x, q=3)
+        l0 = float(m.loss())
+        m.fit(mesh=nshard.make_n_mesh(8), method='scipy', maxiter=30)
+        assert float(m.loss()) < l0
+        assert m._fit_result.nit > 0
+        # aux accessors still work (gather+trim the padded factor)
+        assert np.asarray(m.CinvMs).shape == (3, x.shape[0])
+        LB = np.asarray(m.LBs)
+        assert LB.shape == (3, x.shape[0], x.shape[0])
+        # factor parity vs the single-device aux at the same params
+        m2 = LCGP(y=y, x=x, q=3)
+        m2._free = m._free
+        m2._params_version += 1
+        np.testing.assert_allclose(LB, np.asarray(m2.LBs),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_bad_mesh_axis_names(self):
+        from lcgp_tpu import LCGP
+        from jax.sharding import Mesh
+        x, y = self._xy(seed=4)
+        m = LCGP(y=y, x=x, q=2)
+        bad = Mesh(np.array(jax.devices()[:2]), ('rows',))
+        with pytest.raises(ValueError, match="axis names"):
+            m.fit(mesh=bad)
+
+    def test_backward_memory_bounded(self):
+        """The custom-VJP backward must compile to a strictly smaller
+        per-device temp footprint than plain autodiff through the
+        unrolled distributed factorization."""
+        data, free = _full_problem(q=4, p=8, n=256, d=2, seed=9)
+        mesh = nshard.make_n_mesh(8)
+
+        def temp_bytes(loss):
+            c = jax.jit(jax.value_and_grad(loss)).lower(free).compile()
+            return int(c.memory_analysis().temp_size_in_bytes)
+
+        custom = temp_bytes(
+            lambda fr: nshard.neglpost_full_nsharded(fr, data, mesh))
+        plain = temp_bytes(
+            lambda fr: nshard.neglpost_full_nsharded(fr, data, mesh,
+                                                     _custom_vjp=False))
+        assert custom < 0.75 * plain, (custom, plain)
+
+
+class TestNShardAuxPredict:
+    def test_aux_matches_single_device(self):
+        from lcgp_tpu.models import predict as pred
+        data, free = _full_problem(q=3, p=6, n=24, d=2, seed=11)
+        mesh = nshard.make_n_mesh(8)
+        aux = nshard.compute_aux_nsharded(free, data, mesh)
+        ref = pred.compute_aux_full(free, data)
+        n = data.xs.shape[0]
+        np.testing.assert_allclose(np.asarray(aux.u)[:, :n],
+                                   np.asarray(ref.CinvM),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(aux.L)[:, :n, :n],
+                                   np.asarray(ref.LB), rtol=1e-9, atol=1e-12)
+
+    def test_predict_core_matches(self):
+        from lcgp_tpu.models import predict as pred
+        data, free = _full_problem(q=3, p=6, n=24, d=2, seed=12)
+        mesh = nshard.make_n_mesh(8)
+        rng = np.random.default_rng(13)
+        x0s = jnp.asarray(rng.uniform(0, 1, (7, 2)))
+        aux = nshard.compute_aux_nsharded(free, data, mesh)
+        ghat, gvar = nshard.predict_nsharded_core(free, data, aux, x0s, mesh)
+        ref = pred.compute_aux_full(free, data)
+        ghat_r, gvar_r = pred.predict_full_core(free, data, ref, x0s)
+        np.testing.assert_allclose(np.asarray(ghat), np.asarray(ghat_r),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gvar), np.asarray(gvar_r),
+                                   rtol=1e-8, atol=1e-11)
