@@ -3,13 +3,16 @@
 Times each op of the f32 loss eval at n=4096, p=1000, q=20, d=8 on the
 default backend, and A/Bs a GEMM-blocked f32 Cholesky (panel factor via
 XLA's expander at small block size + MXU GEMM trailing updates) against
-XLA's stock batched Cholesky.  Run:
+XLA's stock batched Cholesky.  Prints each measurement as it lands
+(remote compiles take minutes each).  Run:
 
-  PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/f32_breakdown.py
+  PYTHONPATH=/root/repo:/root/.axon_site python -u benchmarks/f32_breakdown.py \
+      [gram chol blocked256 blocked512 blocked1024 tri vjp e2e]
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -34,6 +37,8 @@ def sync_time(fn, *args, reps=REPS, warmup=1):
 
 
 def main():
+    which = set(sys.argv[1:]) or {'gram', 'chol', 'blocked512', 'tri',
+                                  'vjp', 'e2e'}
     import jax
     import jax.numpy as jnp
     from lcgp_tpu.models import basis as basis_mod
@@ -66,19 +71,25 @@ def main():
 
     results = {}
 
+    def rec(key, value):
+        results[key] = value
+        print(json.dumps({key: value}), flush=True)
+
     # -- Gram / factor-target build ------------------------------------
     build = jax.jit(lambda: gram_factor_target(
         xs32, lLmb, lLmb0, lnug, row_scale=data.diag_D,
         diag_vec=jnp.full((Q, N), 1.0 + jitter, dtype=f32),
         compute_dtype=f32))
-    results['gram_build_ms'] = sync_time(build) * 1e3
+    if 'gram' in which:
+        rec('gram_build_ms', sync_time(build) * 1e3)
     B = build()
     B = jax.block_until_ready(B)
 
     # -- stock XLA batched Cholesky ------------------------------------
     chol = jax.jit(jnp.linalg.cholesky)
-    results['cholesky_xla_ms'] = sync_time(chol, B) * 1e3
-    L = chol(B)
+    if 'chol' in which:
+        rec('cholesky_xla_ms', sync_time(chol, B) * 1e3)
+    L = jax.block_until_ready(chol(B))
 
     # -- blocked GEMM-dominant Cholesky --------------------------------
     def blocked_chol(A, nb):
@@ -101,41 +112,49 @@ def main():
         return Lout
 
     for nb in (256, 512, 1024):
+        if f'blocked{nb}' not in which:
+            continue
         fn = jax.jit(lambda A, nb=nb: blocked_chol(A, nb))
         key = f'cholesky_blocked{nb}_ms'
         try:
-            results[key] = sync_time(fn, B) * 1e3
+            rec(key, sync_time(fn, B) * 1e3)
             Lb = fn(B)
             err = float(jnp.max(jnp.abs(Lb - L)) / jnp.max(jnp.abs(L)))
-            results[f'cholesky_blocked{nb}_relerr'] = err
+            rec(f'cholesky_blocked{nb}_relerr', err)
         except Exception as e:  # noqa: BLE001
-            results[key] = f'FAIL {type(e).__name__}: {e}'[:200]
+            rec(key, f'FAIL {type(e).__name__}: {e}'[:200])
 
     # -- triangular pieces ---------------------------------------------
-    solve_vec = jax.jit(linalg.cho_solve_vec)
-    results['cho_solve_vec_ms'] = sync_time(solve_vec, L, a) * 1e3
-    logdet = jax.jit(linalg.chol_logdet)
-    results['chol_logdet_ms'] = sync_time(logdet, L) * 1e3
-    cinv = jax.jit(linalg.chol_inverse)
-    results['chol_inverse_ms'] = sync_time(cinv, L) * 1e3
+    if 'tri' in which:
+        solve_vec = jax.jit(linalg.cho_solve_vec)
+        rec('cho_solve_vec_ms', sync_time(solve_vec, L, a) * 1e3)
+        logdet = jax.jit(linalg.chol_logdet)
+        rec('chol_logdet_ms', sync_time(logdet, L) * 1e3)
+        cinv = jax.jit(linalg.chol_inverse)
+        rec('chol_inverse_ms', sync_time(cinv, L) * 1e3)
 
     # -- gram vjp -------------------------------------------------------
-    w = solve_vec(L, a)
-    Binv = cinv(L)
-    Dm = data.diag_D.astype(f32)
-    Cbar = 0.5 * Dm[:, None, None] * Binv - 0.5 * w[:, :, None] * w[:, None, :]
-    gvjp = jax.jit(lambda cb: gram_vjp(xs32, xs32, lLmb.astype(f32),
-                                       lLmb0.astype(f32), lnug.astype(f32),
-                                       same=True, cbar=cb))
-    results['gram_vjp_ms'] = sync_time(gvjp, Cbar) * 1e3
+    if 'vjp' in which:
+        w = linalg.cho_solve_vec(L, a)
+        Binv = linalg.chol_inverse(L)
+        Dm = data.diag_D.astype(f32)
+        Cbar = (0.5 * Dm[:, None, None] * Binv
+                - 0.5 * w[:, :, None] * w[:, None, :])
+        Cbar = jax.block_until_ready(Cbar)
+        gvjp = jax.jit(lambda cb: gram_vjp(xs32, xs32, lLmb.astype(f32),
+                                           lLmb0.astype(f32),
+                                           lnug.astype(f32),
+                                           same=True, cbar=cb))
+        rec('gram_vjp_ms', sync_time(gvjp, Cbar) * 1e3)
 
     # -- end-to-end -----------------------------------------------------
-    lossf = jax.jit(lambda fr: lik.neglpost_full(
-        fr, data, compute_dtype=f32, jitter=jitter))
-    results['loss_fwd_ms'] = sync_time(lossf, free) * 1e3
-    vg = jax.jit(jax.value_and_grad(lambda fr: lik.neglpost_full(
-        fr, data, compute_dtype=f32, jitter=jitter)))
-    results['loss_fwd_bwd_ms'] = sync_time(vg, free) * 1e3
+    if 'e2e' in which:
+        lossf = jax.jit(lambda fr: lik.neglpost_full(
+            fr, data, compute_dtype=f32, jitter=jitter))
+        rec('loss_fwd_ms', sync_time(lossf, free) * 1e3)
+        vg = jax.jit(jax.value_and_grad(lambda fr: lik.neglpost_full(
+            fr, data, compute_dtype=f32, jitter=jitter)))
+        rec('loss_fwd_bwd_ms', sync_time(vg, free) * 1e3)
 
     results['device'] = str(jax.devices()[0])
     # Cholesky model FLOPs (n^3/3 per comp) for MFU context

@@ -38,7 +38,8 @@ def gram_stack(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
     'mixed' sentinel builds in f64 (factorizations downstream switch to
     ops/mixed).
     """
-    if compute_dtype == "mixed":
+    from .mixed import is_mixed
+    if is_mixed(compute_dtype):
         compute_dtype = None
     if compute_dtype is not None:
         dt = jnp.dtype(compute_dtype)
@@ -69,7 +70,8 @@ def gram_factor_target(x, lengthscales, amplitudes, nuggets, *, row_scale,
     into the Gram build (verified at parity with an explicit Pallas
     fusion — see module docstring).
     """
-    if compute_dtype == "mixed":
+    from .mixed import is_mixed
+    if is_mixed(compute_dtype):
         compute_dtype = None
     from . import linalg
     C = gram_stack(x, x, lengthscales, amplitudes, nuggets, same=True,

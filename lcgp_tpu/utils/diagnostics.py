@@ -58,7 +58,9 @@ def health_check(model, n_probe: int = 8) -> dict:
             # f32-refinable while cond * eps32 stays < 1
             record("factor_conditioning", bool(np.isfinite(ratio).all()),
                    cond_estimate_max=float(ratio.max()),
-                   mixed_precision_safe=bool(ratio.max() < 1e6))
+                   mixed_precision_safe=bool(ratio.max() < 1e6),
+                   refine_steps_recommended=int(
+                       model.recommended_refine_steps()))
         else:
             record("factor_conditioning", True, skipped="fitc-or-unavailable")
     except Exception as e:  # noqa: BLE001

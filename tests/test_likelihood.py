@@ -275,3 +275,72 @@ class TestMixedPrecision:
         yp_hi = np.asarray(hi.predict(xte)[0])
         yp_mx = np.asarray(mx.predict(xte)[0])
         np.testing.assert_allclose(yp_mx, yp_hi, rtol=1e-6, atol=1e-9)
+
+
+class TestMixedBackwardAndEscalation:
+    def test_parse_refine_sentinels(self):
+        from lcgp_tpu.ops import mixed as mixed_ops
+        assert mixed_ops.parse_refine('mixed') == 2
+        assert mixed_ops.parse_refine('mixed:4') == 4
+        assert mixed_ops.parse_refine(None) is None
+        assert mixed_ops.parse_refine(jnp.float32) is None
+        assert mixed_ops.is_mixed('mixed:3')
+
+    def test_mixed_gradient_matches_f64(self):
+        """The VJP's inverse now runs on the mixed (Newton-refined) path;
+        gradients must still match the f64 path tightly."""
+        data, free, *_ = _full_setup(21, 48, 2, 4)
+        g64 = jax.grad(lambda fr: lik.neglpost_full(fr, data))(free)
+        gmx = jax.grad(lambda fr: lik.neglpost_full(
+            fr, data, compute_dtype='mixed'))(free)
+        for a, b in zip(jax.tree.leaves(gmx), jax.tree.leaves(g64)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-7, atol=1e-10)
+
+    def test_mixed_rep_gradient_matches_f64(self):
+        data, free, *_ = _rep_setup(22, 40, 2, 4)
+        g64 = jax.grad(lambda fr: lik.neglpost_rep(fr, data))(free)
+        gmx = jax.grad(lambda fr: lik.neglpost_rep(
+            fr, data, compute_dtype='mixed'))(free)
+        for a, b in zip(jax.tree.leaves(gmx), jax.tree.leaves(g64)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-7, atol=1e-10)
+
+    def test_escalated_steps_loss_matches(self):
+        data, free, *_ = _full_setup(23, 32, 2, 4)
+        ref = float(lik.neglpost_full(free, data))
+        for cd in ('mixed', 'mixed:3', 'mixed:4'):
+            got = float(lik.neglpost_full(free, data, compute_dtype=cd))
+            np.testing.assert_allclose(got, ref, rtol=1e-9)
+
+    def test_chol_inverse_from_factor(self):
+        from lcgp_tpu.ops import linalg, mixed as mixed_ops
+        rng = np.random.default_rng(24)
+        A = rng.standard_normal((3, 24, 8))
+        B = jnp.asarray(A @ np.swapaxes(A, -1, -2) + 4.0 * np.eye(24))
+        L = linalg.cholesky(B)
+        X = mixed_ops.chol_inverse_from_factor_mixed(L, newton_steps=2)
+        np.testing.assert_allclose(np.asarray(X),
+                                   np.linalg.inv(np.asarray(B)),
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_model_recommends_and_escalates(self):
+        from lcgp_tpu import LCGP, datasets
+        xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=25)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep', precision='mixed')
+        k = m.recommended_refine_steps()
+        assert 2 <= k <= 5
+        # forcing a huge amplitude must raise the recommendation
+        m.set_params(lLmb0=np.full(3, 5e3))   # inside the SoftClip bound
+        assert m.recommended_refine_steps() > k
+
+    def test_health_check_reports_refine_steps(self):
+        from lcgp_tpu import LCGP, datasets
+        from lcgp_tpu.utils.diagnostics import health_check
+        xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=26)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep', precision='mixed')
+        m.fit(method='adam', steps=20)
+        rep = health_check(m)
+        fc = rep['checks']['factor_conditioning']
+        assert 'refine_steps_recommended' in fc
+        assert 2 <= fc['refine_steps_recommended'] <= 5
