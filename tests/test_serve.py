@@ -73,3 +73,81 @@ class TestPredictServer:
             assert ei.value.code == 400
         finally:
             srv.shutdown()
+
+
+class TestMicrobatching:
+    def test_concurrent_clients_match_model_predict(self, tmp_path):
+        """8 threads, request sizes 1..127: every response must equal the
+        direct model.predict values (microbatcher fan-out correctness)."""
+        import threading
+        import numpy as np
+        from lcgp_tpu import LCGP, datasets
+        from lcgp_tpu.serve import PredictServer
+
+        xtr, ytr, xte, _ = datasets.make_rep_data_skewed(seed=55)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        m.fit(method='adam', steps=30)
+        srv = PredictServer(m, batch_size=64, warmup=True)
+
+        rng = np.random.default_rng(0)
+        sizes = [1, 3, 7, 16, 31, 64, 90, 127]
+        inputs = [rng.uniform(xtr.min(), xtr.max(), (s, 1)) for s in sizes]
+        expected = [tuple(np.asarray(o) for o in m.predict(x))
+                    for x in inputs]
+
+        results = [None] * len(sizes)
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = srv.predict(inputs[i])
+            except Exception as e:       # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(sizes))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        srv.shutdown()
+        assert not errors, errors
+        for got, exp, s in zip(results, expected, sizes):
+            assert got is not None, f'request of size {s} never completed'
+            for g, e in zip(got, exp):
+                np.testing.assert_allclose(g, e, rtol=1e-10, atol=1e-12)
+
+    def test_coalescing_happens(self):
+        """With a slow fake executable, concurrent small requests must
+        share dispatches (fewer device calls than requests)."""
+        import threading
+        import numpy as np
+        from lcgp_tpu.serve import PredictServer
+        from lcgp_tpu import LCGP, datasets
+
+        xtr, ytr, _, _ = datasets.make_rep_data_1d(n_unique=8, seed=56)
+        m = LCGP(y=ytr, x=xtr, submethod='rep')
+        srv = PredictServer(m, batch_size=32, warmup=True)
+
+        calls = []
+        real_fn = srv._fn
+
+        def counting_fn(batch):
+            calls.append(batch.shape[0])
+            import time as _t
+            _t.sleep(0.05)               # widen the coalescing window
+            return real_fn(batch)
+
+        srv._fn = counting_fn
+        n_req = 12
+
+        def worker():
+            srv.predict(np.full((2, xtr.shape[1]), 0.5))
+
+        threads = [threading.Thread(target=worker) for _ in range(n_req)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        srv.shutdown()
+        assert len(calls) < n_req, (len(calls), calls)
