@@ -21,17 +21,31 @@ N, P_OUT, Q, D = 4096, 1000, 20, 8
 REPS = 5
 
 
+def reduced(fn):
+    """Wrap fn so it returns tiny on-device sums: forces the whole
+    computation (no DCE) while the host sync transfers scalars, not the
+    full outputs (a (20,4096,4096) f32 fetch through the tunnel is ~70s
+    and would swamp any op timing)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def wrapped(*args):
+        out = fn(*args)
+        return jax.tree.map(lambda a: jnp.sum(a, dtype=jnp.float64), out)
+    return wrapped
+
+
 def sync_time(fn, *args, reps=REPS, warmup=1):
+    """Time a `reduced` callable; host transfer of the scalar sums is the
+    only trustworthy sync on the axon backend."""
     import jax
     for _ in range(warmup):
-        out = fn(*args)
-        jax.tree.map(lambda a: np.asarray(a).ravel()[:1], out)
+        jax.tree.map(float, fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        out = fn(*args)
-        # host transfer = only trustworthy sync on the axon backend
-        jax.tree.map(lambda a: np.asarray(a).ravel()[:1], out)
+        jax.tree.map(float, fn(*args))
         ts.append(time.time() - t0)
     return float(np.median(ts))
 
@@ -76,20 +90,19 @@ def main():
         print(json.dumps({key: value}), flush=True)
 
     # -- Gram / factor-target build ------------------------------------
-    build = jax.jit(lambda: gram_factor_target(
-        xs32, lLmb, lLmb0, lnug, row_scale=data.diag_D,
-        diag_vec=jnp.full((Q, N), 1.0 + jitter, dtype=f32),
-        compute_dtype=f32))
+    def build_raw():
+        return gram_factor_target(
+            xs32, lLmb, lLmb0, lnug, row_scale=data.diag_D,
+            diag_vec=jnp.full((Q, N), 1.0 + jitter, dtype=f32),
+            compute_dtype=f32)
     if 'gram' in which:
-        rec('gram_build_ms', sync_time(build) * 1e3)
-    B = build()
-    B = jax.block_until_ready(B)
+        rec('gram_build_ms', sync_time(reduced(build_raw)) * 1e3)
+    B = jax.block_until_ready(jax.jit(build_raw)())
 
     # -- stock XLA batched Cholesky ------------------------------------
-    chol = jax.jit(jnp.linalg.cholesky)
     if 'chol' in which:
-        rec('cholesky_xla_ms', sync_time(chol, B) * 1e3)
-    L = jax.block_until_ready(chol(B))
+        rec('cholesky_xla_ms', sync_time(reduced(jnp.linalg.cholesky), B) * 1e3)
+    L = jax.block_until_ready(jax.jit(jnp.linalg.cholesky)(B))
 
     # -- blocked GEMM-dominant Cholesky --------------------------------
     def blocked_chol(A, nb):
@@ -114,34 +127,35 @@ def main():
     for nb in (256, 512, 1024):
         if f'blocked{nb}' not in which:
             continue
-        fn = jax.jit(lambda A, nb=nb: blocked_chol(A, nb))
+        fn = reduced(lambda A, nb=nb: blocked_chol(A, nb))
         key = f'cholesky_blocked{nb}_ms'
         try:
             rec(key, sync_time(fn, B) * 1e3)
-            Lb = fn(B)
-            err = float(jnp.max(jnp.abs(Lb - L)) / jnp.max(jnp.abs(L)))
+            Lb = jax.jit(lambda A, nb=nb: blocked_chol(A, nb))(B)
+            err = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)) /
+                        jnp.max(jnp.abs(b)))(Lb, L))
             rec(f'cholesky_blocked{nb}_relerr', err)
         except Exception as e:  # noqa: BLE001
             rec(key, f'FAIL {type(e).__name__}: {e}'[:200])
 
     # -- triangular pieces ---------------------------------------------
     if 'tri' in which:
-        solve_vec = jax.jit(linalg.cho_solve_vec)
-        rec('cho_solve_vec_ms', sync_time(solve_vec, L, a) * 1e3)
-        logdet = jax.jit(linalg.chol_logdet)
-        rec('chol_logdet_ms', sync_time(logdet, L) * 1e3)
-        cinv = jax.jit(linalg.chol_inverse)
-        rec('chol_inverse_ms', sync_time(cinv, L) * 1e3)
+        rec('cho_solve_vec_ms', sync_time(reduced(linalg.cho_solve_vec),
+                                          L, a) * 1e3)
+        rec('chol_logdet_ms', sync_time(reduced(linalg.chol_logdet), L) * 1e3)
+        rec('chol_inverse_ms', sync_time(reduced(linalg.chol_inverse), L) * 1e3)
 
     # -- gram vjp -------------------------------------------------------
     if 'vjp' in which:
-        w = linalg.cho_solve_vec(L, a)
-        Binv = linalg.chol_inverse(L)
-        Dm = data.diag_D.astype(f32)
-        Cbar = (0.5 * Dm[:, None, None] * Binv
-                - 0.5 * w[:, :, None] * w[:, None, :])
-        Cbar = jax.block_until_ready(Cbar)
-        gvjp = jax.jit(lambda cb: gram_vjp(xs32, xs32, lLmb.astype(f32),
+        @jax.jit
+        def make_cbar(L, a):
+            w = linalg.cho_solve_vec(L, a)
+            Binv = linalg.chol_inverse(L)
+            Dm = data.diag_D.astype(f32)
+            return (0.5 * Dm[:, None, None] * Binv
+                    - 0.5 * w[:, :, None] * w[:, None, :])
+        Cbar = jax.block_until_ready(make_cbar(L, a))
+        gvjp = reduced(lambda cb: gram_vjp(xs32, xs32, lLmb.astype(f32),
                                            lLmb0.astype(f32),
                                            lnug.astype(f32),
                                            same=True, cbar=cb))
@@ -149,10 +163,10 @@ def main():
 
     # -- end-to-end -----------------------------------------------------
     if 'e2e' in which:
-        lossf = jax.jit(lambda fr: lik.neglpost_full(
+        lossf = reduced(lambda fr: lik.neglpost_full(
             fr, data, compute_dtype=f32, jitter=jitter))
         rec('loss_fwd_ms', sync_time(lossf, free) * 1e3)
-        vg = jax.jit(jax.value_and_grad(lambda fr: lik.neglpost_full(
+        vg = reduced(jax.value_and_grad(lambda fr: lik.neglpost_full(
             fr, data, compute_dtype=f32, jitter=jitter)))
         rec('loss_fwd_bwd_ms', sync_time(vg, free) * 1e3)
 

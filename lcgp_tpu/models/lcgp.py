@@ -163,6 +163,9 @@ class LCGP:
         # fit(mesh=...) or set_mesh); loss/fit/aux/predict all route
         # through parallel/nshard when present.
         self._n_mesh = None
+        # FITC negative-variance clamp statistics from the last predict
+        # (health_check surfaces these; None = exact path or no predict yet)
+        self._fitc_clamp_stats = None
 
         self._data = self._build_data()
 
@@ -727,6 +730,47 @@ class LCGP:
         path = str(path)
         return path if path.endswith('.npz') else path + '.npz'
 
+    def refine_inducing(self, steps: int = 200, learning_rate: float = 5e-3,
+                        joint: bool = True, verbose: bool = False):
+        """Gradient-refine the FITC inducing locations ``z`` (greedy
+        farthest-point init) by minimizing the FITC loss — the standard
+        next step for FITC quality after subset selection.
+
+        joint=True optimizes z together with the hyperparameters (Adam);
+        joint=False holds the hyperparameters fixed and moves only z.
+        Returns the final loss.  The reference's abandoned Nyström draft
+        (covmat.py:57-93) had no counterpart of this.
+        """
+        if self._z is None:
+            raise ValueError('refine_inducing requires an inducing-point '
+                             'model (construct with inducing=...)')
+        from . import sparse
+        fitc = (sparse.neglpost_rep_fitc if self.submethod == 'rep'
+                else sparse.neglpost_full_fitc)
+
+        if joint:
+            def loss(tree):
+                return fitc(tree['free'], self._data, tree['z'],
+                            compute_dtype=self._compute_dtype,
+                            kernel=self.kernel)
+            tree0 = {'free': self._free, 'z': self._z}
+        else:
+            def loss(tree):
+                return fitc(self._free, self._data, tree['z'],
+                            compute_dtype=self._compute_dtype,
+                            kernel=self.kernel)
+            tree0 = {'z': self._z}
+
+        res = minimize_adam(loss, tree0, steps=steps,
+                            learning_rate=learning_rate, verbose=verbose)
+        # z stays unconstrained: the kernel is defined everywhere and
+        # projecting back to [0,1]^d post-hoc would undo the optimization
+        self._z = res.params['z']
+        if joint:
+            self._free = res.params['free']
+        self._params_version += 1
+        return float(res.fun)
+
     def restore_checkpoint(self, path):
         """Load free parameters from a fit(checkpoint_path=...) snapshot;
         returns (step, loss) recorded at the snapshot."""
@@ -913,9 +957,15 @@ class LCGP:
     def _latent_predict(self, aux, x0s):
         if self._z is not None:
             from . import sparse
-            return sparse.predict_fitc_core(
+            ghat, gvar = sparse.predict_fitc_core(
                 self._free, self._data, aux, self._z, x0s,
                 compute_dtype=self._compute_dtype, kernel=self.kernel)
+            gvar, count, worst = sparse.clamp_variance(gvar)
+            self._fitc_clamp_stats = dict(
+                n_clamped=int(count), total=int(gvar.size),
+                frac=float(count) / float(gvar.size),
+                worst=float(worst))
+            return ghat, gvar
         if self._n_mesh is not None:
             from ..parallel import nshard
             return nshard.predict_nsharded_core(

@@ -252,4 +252,16 @@ def predict_fitc_core(free: P.FreeParams, data, aux: FitcAux, z, x0s,
     ghat = jnp.einsum('qam,qm->qa', W0, aux.alpha)
     red = jnp.einsum('qam,qmk,qak->qa', W0, aux.inner, W0)
     gvar = c00.astype(red.dtype) - red
-    return ghat, jnp.maximum(gvar, 0.0)
+    # negative entries are a bad-inducing-set symptom; the model layer
+    # clamps AND counts them (health_check surfaces the stats) instead of
+    # hiding the clamp here (round-2 review weak #8)
+    return ghat, gvar
+
+
+def clamp_variance(gvar):
+    """Clamp negative predictive variances to zero, returning the clamped
+    array plus (count, worst) clamp statistics as device scalars."""
+    neg = gvar < 0.0
+    count = jnp.sum(neg)
+    worst = jnp.min(jnp.where(neg, gvar, jnp.zeros_like(gvar)))
+    return jnp.maximum(gvar, 0.0), count, worst

@@ -80,4 +80,15 @@ def health_check(model, n_probe: int = 8) -> dict:
     except Exception as e:  # noqa: BLE001
         record("predict_smoke", False, error=repr(e))
 
+    # FITC negative-variance clamping: a symptom of a bad inducing set.
+    # Surfaced, not hidden (round-2 review): check fails when a
+    # non-negligible fraction of the last predict's variances were clamped.
+    stats = getattr(model, '_fitc_clamp_stats', None)
+    if stats is not None:
+        record("fitc_variance_clamp",
+               stats['frac'] <= 0.01 and stats['worst'] > -1e-6,
+               **stats,
+               hint=("refine_inducing() or a larger `inducing=` m "
+                     "usually removes the clamping"))
+
     return report

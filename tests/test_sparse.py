@@ -138,3 +138,56 @@ class TestFitcFastPrecision:
         assert np.isfinite(float(fa.loss()))
         yp, ypv, _ = map(np.asarray, fa.predict(xte))
         assert np.isfinite(yp).all() and (ypv > 0).all()
+
+
+class TestClampStatsAndRefinement:
+    def _model(self, seed=61, m=12):
+        rng = np.random.default_rng(seed)
+        n, d, p = 120, 2, 4
+        x = rng.uniform(0, 1, (n, d))
+        y = np.vstack([np.sin(4 * x[:, 0]), np.cos(3 * x[:, 1]),
+                       x[:, 0] * x[:, 1], (x ** 2).sum(1)])
+        y = y + 0.05 * rng.standard_normal((p, n))
+        from lcgp_tpu import LCGP
+        return LCGP(y=y, x=x, q=3, inducing=m), x
+
+    def test_clamp_stats_recorded(self):
+        m, x = self._model()
+        m.fit(method='adam', steps=20)
+        m.predict(x[:10])
+        st = m._fitc_clamp_stats
+        assert st is not None
+        assert set(st) == {'n_clamped', 'total', 'frac', 'worst'}
+        assert st['total'] == 3 * 10
+        assert 0 <= st['frac'] <= 1
+
+    def test_health_check_surfaces_clamp(self):
+        from lcgp_tpu.utils.diagnostics import health_check
+        m, x = self._model(seed=62)
+        m.fit(method='adam', steps=20)
+        m.predict(x[:8])
+        rep = health_check(m)
+        assert 'fitc_variance_clamp' in rep['checks']
+        assert 'frac' in rep['checks']['fitc_variance_clamp']
+
+    def test_refine_inducing_improves_loss(self):
+        m, x = self._model(seed=63, m=8)
+        m.fit(method='adam', steps=40)
+        l0 = float(m.loss())
+        z0 = np.asarray(m._z).copy()
+        l1 = m.refine_inducing(steps=60, learning_rate=5e-3, joint=False)
+        assert not np.allclose(np.asarray(m._z), z0)   # z actually moved
+        assert l1 <= l0 + 1e-9
+        # joint refinement from there should not be worse either
+        l2 = m.refine_inducing(steps=40, learning_rate=2e-3, joint=True)
+        assert l2 <= l1 + 1e-6
+
+    def test_refine_requires_inducing(self):
+        import pytest
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(64)
+        x = rng.uniform(0, 1, (20, 1))
+        y = np.vstack([np.sin(x[:, 0]), x[:, 0]])
+        mdl = LCGP(y=y, x=x)
+        with pytest.raises(ValueError, match='inducing'):
+            mdl.refine_inducing()
