@@ -312,9 +312,7 @@ def _nshard_full_fwd_local(xblk, mblk, a_blk, lLmb, lLmb0, lnug, D,
                            *, ndev, jitter, kernel, compute_dtype):
     """Per-device forward: my Gram rows -> distributed factor/solve ->
     per-component loss terms.  Returns (terms, LB rows, w rows)."""
-    nb = xblk.shape[0]
-    idx = lax.axis_index(AXIS)
-    C, eye_blk, x_full, m_full = _local_gram_rows(
+    C, eye_blk, _, _ = _local_gram_rows(
         xblk, mblk, lLmb, lLmb0, lnug, ndev=ndev, kernel=kernel,
         compute_dtype=compute_dtype)
     Dm = D.astype(C.dtype)
@@ -474,7 +472,7 @@ def _nshard_rep_fwd_local(xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0,
     """Rep-path per-device forward: my rows of A = C + diag(lam + jit),
     distributed factor/solve, per-component partial terms.
     Returns (terms, LT rows, u rows, Cu rows)."""
-    C, eye_blk, x_full, m_full = _local_gram_rows(
+    C, eye_blk, _, _ = _local_gram_rows(
         xblk, mblk, lLmb, lLmb0, lnug, ndev=ndev, kernel=kernel,
         compute_dtype=compute_dtype)
     # padded rows get a clean unit diagonal (zero logdet/quad contribution)
