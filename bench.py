@@ -46,21 +46,58 @@ def make_problem():
     return data, free
 
 
+def fuse_scalar(vg):
+    """One fused on-device scalar (loss + a grad element): forces the full
+    value_and_grad while the host sync is a single transfer.  Each extra
+    transfer pays the tunnel's ~30 ms RTT (round-3 finding: the round-2
+    two-transfer sync inflated every eval by one RTT)."""
+    import jax
+
+    @jax.jit
+    def fused(free, data):
+        v, g = vg(free, data)
+        return v + jax.numpy.sum(g.lLmb[0, :1])
+    return fused
+
+
 def time_evals(vg, free, data):
     # NOTE: on the axon backend block_until_ready does not reliably block;
-    # a host transfer of the scalar loss is the only trustworthy sync.
-    def run_synced():
-        v, g = vg(free, data)
-        return float(v), float(np.asarray(g.lLmb)[0, 0])
+    # a host transfer of the scalar result is the only trustworthy sync.
+    fused = fuse_scalar(vg)
 
     for _ in range(WARMUP):
-        run_synced()
+        float(fused(free, data))
     times = []
     for _ in range(EVALS):
         t0 = time.time()
-        run_synced()
+        float(fused(free, data))
         times.append(time.time() - t0)
     return float(np.median(times))
+
+
+def time_evals_scan(make_loss, free, data, k=8):
+    """Amortized per-eval time: one dispatch scans k chained NLL-grad
+    evals (a tiny param perturbation per step forces sequentiality so XLA
+    cannot hoist the loop-invariant work).  This is what an on-device
+    optimizer loop actually pays per eval — no per-eval dispatch RTT."""
+    import jax
+    import jax.numpy as jnp
+
+    loss = make_loss()
+
+    @jax.jit
+    def run(free, data):
+        def body(fr, _):
+            v, g = jax.value_and_grad(loss)(fr, data)
+            fr = jax.tree.map(lambda p, gg: p - 1e-12 * gg, fr, g)
+            return fr, v
+        fr, vs = jax.lax.scan(body, free, None, length=k)
+        return jnp.sum(vs) + jnp.sum(fr.lLmb[0, :1])
+
+    float(run(free, data))                     # compile + warm
+    t0 = time.time()
+    float(run(free, data))
+    return (time.time() - t0) / k
 
 
 def _time_with_fallback(make_vg, free, data, chunks):
@@ -122,6 +159,13 @@ def main():
     evals32 = 1.0 / secs32
     evals_mx = 1.0 / secs_mx
 
+    # amortized (scan) f32 per-eval cost — what the on-device optimizer pays
+    import jax.numpy as jnp_
+    secs32_scan = time_evals_scan(
+        lambda: (lambda fr, d=data: lik.neglpost_full(
+            fr, d, compute_dtype=jnp_.float32, jitter=1e-6,
+            q_chunk=chunk32)), free, data)
+
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              'benchmarks', 'bench_baseline.json')
     vs64 = vs32 = None
@@ -142,6 +186,8 @@ def main():
         'vs_baseline': round(vs64, 2) if vs64 else None,
         'secs_per_eval_f64': round(secs64, 4),
         'evals_per_sec_f32': round(evals32, 4),
+        'secs_per_eval_f32': round(secs32, 4),
+        'secs_per_eval_f32_scan': round(secs32_scan, 4),
         'vs_baseline_f32': round(vs32, 2) if vs32 else None,
         'evals_per_sec_mixed': round(evals_mx, 4),
         'vs_baseline_mixed': round(evals_mx / base_evals, 2) if base_evals else None,

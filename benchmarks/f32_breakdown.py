@@ -22,30 +22,31 @@ REPS = 5
 
 
 def reduced(fn):
-    """Wrap fn so it returns tiny on-device sums: forces the whole
-    computation (no DCE) while the host sync transfers scalars, not the
-    full outputs (a (20,4096,4096) f32 fetch through the tunnel is ~70s
-    and would swamp any op timing)."""
+    """Wrap fn so it returns ONE on-device scalar: forces the whole
+    computation (no DCE) while the host sync is exactly one transfer.
+    (Per-leaf transfers each pay the tunnel's ~30 ms RTT — a 5-leaf
+    grad pytree inflated the e2e number by ~150 ms before this fix; a
+    full-array fetch is ~70 s.)"""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def wrapped(*args):
         out = fn(*args)
-        return jax.tree.map(lambda a: jnp.sum(a, dtype=jnp.float64), out)
+        leaves = jax.tree.leaves(out)
+        return sum(jnp.sum(a, dtype=jnp.float64) for a in leaves)
     return wrapped
 
 
 def sync_time(fn, *args, reps=REPS, warmup=1):
-    """Time a `reduced` callable; host transfer of the scalar sums is the
+    """Time a `reduced` callable; the single-scalar host transfer is the
     only trustworthy sync on the axon backend."""
-    import jax
     for _ in range(warmup):
-        jax.tree.map(float, fn(*args))
+        float(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.time()
-        jax.tree.map(float, fn(*args))
+        float(fn(*args))
         ts.append(time.time() - t0)
     return float(np.median(ts))
 
