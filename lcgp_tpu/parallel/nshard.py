@@ -733,22 +733,17 @@ def _nshard_predict_local(xblk, mblk, Lblk, ublk, x0s, lLmb, lLmb0, lnug,
     return ghat, ssq
 
 
-def predict_nsharded_core(free: Pm.FreeParams, data, aux: NShardAux,
-                          x0s, mesh: Mesh, compute_dtype=None,
-                          jitter: float = 0.0, kernel: str = 'matern32'):
-    """(ghat, gvar) at standardized x0s with the n axis distributed.
-
-    Matches ``predict.predict_full_core`` / ``predict_rep_core``:
-    full:  gvar = c00 - D * sum(M^2),  M = LB^{-1} c0^T
-    rep:   gvar = c00 - sum(M^2),      M = LT^{-1} c0^T
-    """
+@partial(jax.jit, static_argnames=('mesh', 'kind', 'compute_dtype',
+                                   'kernel'))
+def _predict_nsharded_jit(free, xs_train, u, L, x0s, diag_D, *,
+                          mesh, kind, compute_dtype, kernel):
     ndev = mesh.devices.size
-    n = data.xs.shape[0]
-    n_pad = aux.L.shape[-1]
+    n = xs_train.shape[0]
+    n_pad = L.shape[-1]
     lLmb, lLmb0, _, lnug = Pm.constrain(free)
 
-    xs = _pad_to(data.xs, n_pad, axis=0, fill=0.5)
-    mask = _pad_to(jnp.ones((n,), dtype=data.xs.dtype), n_pad, axis=0)
+    xs = _pad_to(xs_train, n_pad, axis=0, fill=0.5)
+    mask = _pad_to(jnp.ones((n,), dtype=xs_train.dtype), n_pad, axis=0)
 
     body = partial(_nshard_predict_local, ndev=ndev, kernel=kernel,
                    compute_dtype=compute_dtype)
@@ -758,11 +753,27 @@ def predict_nsharded_core(free: Pm.FreeParams, data, aux: NShardAux,
                   P(None, AXIS), P(None, None), P(None, None), P(None),
                   P(None)),
         out_specs=(P(), P()))
-    ghat, ssq = fn(xs, mask, aux.L, aux.u, x0s, lLmb, lLmb0, lnug)
+    ghat, ssq = fn(xs, mask, L, u, x0s, lLmb, lLmb0, lnug)
 
     c00 = matern32_diag(x0s, lLmb0).astype(ssq.dtype)
-    if aux.kind == 'full':
-        gvar = c00 - data.diag_D[:, None].astype(ssq.dtype) * ssq
+    if kind == 'full':
+        gvar = c00 - diag_D[:, None].astype(ssq.dtype) * ssq
     else:
         gvar = c00 - ssq
     return ghat, gvar
+
+
+def predict_nsharded_core(free: Pm.FreeParams, data, aux: NShardAux,
+                          x0s, mesh: Mesh, compute_dtype=None,
+                          jitter: float = 0.0, kernel: str = 'matern32'):
+    """(ghat, gvar) at standardized x0s with the n axis distributed.
+
+    Matches ``predict.predict_full_core`` / ``predict_rep_core``:
+    full:  gvar = c00 - D * sum(M^2),  M = LB^{-1} c0^T
+    rep:   gvar = c00 - sum(M^2),      M = LT^{-1} c0^T
+    Jitted with the mesh static, so repeated predicts (serving) reuse the
+    compiled executable.
+    """
+    return _predict_nsharded_jit(free, data.xs, aux.u, aux.L, x0s,
+                                 data.diag_D, mesh=mesh, kind=aux.kind,
+                                 compute_dtype=compute_dtype, kernel=kernel)
