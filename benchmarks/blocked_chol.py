@@ -55,6 +55,21 @@ def blocked_cholesky(A, nb: int, solve_panel: bool = False):
     return jnp.concatenate(cols, axis=-1)
 
 
+def measure_rtt(reps=10):
+    """Dispatch+transfer round-trip floor: a jitted scalar increment."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda s: s + 1.0)
+    s = jnp.float32(0.0)
+    float(f(s))
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        float(f(s))
+        ts.append(time.time() - t0)
+    return float(np.median(ts)) * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--cpu', action='store_true')
@@ -95,6 +110,8 @@ def main():
             float(r(*a))
             ts.append(time.time() - t0)
         return float(np.median(ts)) * 1e3
+
+    print(json.dumps({'rtt_ms': measure_rtt()}), flush=True)
 
     L_ref = jax.jit(jnp.linalg.cholesky)(B)
     L_ref = jax.block_until_ready(L_ref)

@@ -27,6 +27,16 @@ import jax.numpy as jnp
 if not os.environ.get("LCGP_TPU_NO_X64"):
     jax.config.update("jax_enable_x64", True)
 
+# On TPU, f32 matmuls run at DEFAULT precision = bf16 MXU passes (~3
+# decimal digits).  That silently downgrades every raw f32 GEMM in the
+# 'fast' path (chol_inverse's syrk, predict recombinations, blocked
+# trailing updates — measured: bf16-grade Schur updates break the PSD
+# margin of factorization targets and NaN the factor).  Force true-f32
+# matmul semantics; opt back into bf16 speed with LCGP_TPU_FAST_MATMUL=1
+# only if ~1e-3 relative accuracy is acceptable.
+if not os.environ.get("LCGP_TPU_FAST_MATMUL"):
+    jax.config.update("jax_default_matmul_precision", "float32")
+
 
 _PRECISION_DTYPES = {
     "high": jnp.float64,
