@@ -64,14 +64,25 @@ def main():
     print(f'{args.steps} sharded Adam steps in {time.time() - t0:.2f}s; '
           f'loss {single:.4f} -> {float(final_loss):.4f}')
 
-    # n-axis sharding: distributed blocked Cholesky over all devices
+    # n-axis sharding: distributed blocked Cholesky over all devices.
+    # End-to-end through the model API (round 3): fit(mesh=...) runs the
+    # distributed loss+grad with the memory-bounded custom-VJP backward,
+    # and predict() runs the n-sharded aux/predict path.
     from lcgp_tpu.parallel import nshard
     nmesh = nshard.make_n_mesh()
-    vg_n = nshard.make_nsharded_value_and_grad(nmesh, model._data)
-    v_n, _ = vg_n(model._free)
-    print(f'n-sharded loss {float(v_n):.6f} over {nmesh.devices.size} '
-          f'devices (rows of every Gram distributed; '
-          f'diff vs single-device {abs(float(v_n) - single):.2e})')
+    model_n = LCGP(y=y, x=x, q=q)
+    t0 = time.time()
+    model_n.fit(mesh=nmesh, method='adam', steps=args.steps,
+                learning_rate=3e-2)
+    x0 = rng.uniform(0, 1, (8, 4))
+    yp = np.asarray(model_n.predict(x0)[0])
+    single_model = LCGP(y=y, x=x, q=q)
+    single_model._free = model_n._free
+    single_model._params_version += 1
+    yp_ref = np.asarray(single_model.predict(x0)[0])
+    print(f'n-sharded fit+predict over {nmesh.devices.size} devices in '
+          f'{time.time() - t0:.2f}s; predict vs single-device max diff '
+          f'{np.max(np.abs(yp - yp_ref)):.2e}')
 
 
 if __name__ == '__main__':
