@@ -17,7 +17,8 @@ import time
 import numpy as np
 
 
-def blocked_cholesky(A, nb: int, solve_panel: bool = False):
+def blocked_cholesky(A, nb: int, solve_panel: bool = False,
+                     gemm_precision=None):
     """Right-looking blocked lower Cholesky of a batched PSD stack.
 
     Panel factor: XLA cholesky on the (q, nb, nb) diagonal block.
@@ -26,9 +27,18 @@ def blocked_cholesky(A, nb: int, solve_panel: bool = False):
     MXU-friendly; True uses a direct triangular solve (better error for
     ill-conditioned panels, slower on TPU).
     Trailing update: one batched GEMM on the shrinking trailing block.
+    gemm_precision: lax.Precision for the panel-apply and trailing GEMMs
+    (None = global default; HIGH = bf16_3x MXU passes — near-f32 accuracy
+    at ~2x the f32(6-pass) GEMM rate; DEFAULT/bf16 breaks the PSD margin
+    and NaNs the factor — measured).
     """
     import jax
     import jax.numpy as jnp
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((a.ndim - 1,), (b.ndim - 2,)), ((0,), (0,))),
+            precision=gemm_precision)
 
     n = A.shape[-1]
     batch = A.shape[:-2]
@@ -47,11 +57,12 @@ def blocked_cholesky(A, nb: int, solve_panel: bool = False):
                                    batch + (nb, nb))
             Linv = jax.lax.linalg.triangular_solve(
                 Lkk, eye, left_side=True, lower=True)
-            Lik = rest @ jnp.swapaxes(Linv, -1, -2)
+            Lik = mm(rest, jnp.swapaxes(Linv, -1, -2))
         above = jnp.zeros(batch + (k, nb), dtype=A.dtype)
         cols.append(jnp.concatenate([above, Lkk, Lik], axis=-2))
         if k + nb < n:
-            trail = trail[..., nb:, nb:] - Lik @ jnp.swapaxes(Lik, -1, -2)
+            trail = trail[..., nb:, nb:] - mm(Lik,
+                                              jnp.swapaxes(Lik, -1, -2))
     return jnp.concatenate(cols, axis=-1)
 
 
@@ -118,14 +129,16 @@ def main():
     ms_xla = timed(jnp.linalg.cholesky, B)
     print(json.dumps({'xla_ms': ms_xla}), flush=True)
 
+    variants = [(False, None, '_inv'), (True, None, '_trsm'),
+                (False, jax.lax.Precision.HIGH, '_inv_b3x')]
     for nb in args.nb:
-        for solve_panel in (False, True):
-            tag = f'blocked{nb}{"_trsm" if solve_panel else "_inv"}'
+        for solve_panel, prec, suffix in variants:
+            tag = f'blocked{nb}{suffix}'
             try:
-                ms = timed(lambda A, nb=nb, sp=solve_panel:
-                           blocked_cholesky(A, nb, sp), B)
-                Lb = jax.jit(lambda A, nb=nb, sp=solve_panel:
-                             blocked_cholesky(A, nb, sp))(B)
+                ms = timed(lambda A, nb=nb, sp=solve_panel, pr=prec:
+                           blocked_cholesky(A, nb, sp, pr), B)
+                Lb = jax.jit(lambda A, nb=nb, sp=solve_panel, pr=prec:
+                             blocked_cholesky(A, nb, sp, pr))(B)
                 err = float(jax.jit(
                     lambda a, b: jnp.max(jnp.abs(a - b)))(Lb, L_ref))
                 scale = float(jax.jit(lambda a: jnp.max(jnp.abs(a)))(L_ref))

@@ -667,15 +667,10 @@ def _nshard_aux_rep_local(xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0,
     return u, LT
 
 
-def compute_aux_nsharded(free: Pm.FreeParams, data, mesh: Mesh,
-                         compute_dtype=None, jitter: float = 0.0,
-                         kernel: str = 'matern32') -> NShardAux:
-    """Distributed predictive aux (dual weights + row-sharded factor).
-
-    Full path: the same B = D C + (1+jitter) I factor as the loss;
-    u = B^{-1} a is exactly the CinvM of ``predict.compute_aux_full``.
-    Rep path: u = (C + Lam)^{-1} Lam b (``predict.compute_aux_rep``).
-    """
+@partial(jax.jit, static_argnames=('mesh', 'compute_dtype', 'jitter',
+                                   'kernel'))
+def _aux_rep_nsharded_jit(free, data, *, mesh, compute_dtype, jitter,
+                          kernel):
     ndev = mesh.devices.size
     n = data.xs.shape[0]
     n_pad = -(-n // ndev) * ndev
@@ -686,23 +681,36 @@ def compute_aux_nsharded(free: Pm.FreeParams, data, mesh: Mesh,
     xs = _pad_to(data.xs, n_pad, axis=0, fill=0.5)
     mask = _pad_to(jnp.ones((n,), dtype=data.xs.dtype), n_pad, axis=0)
 
-    if isinstance(data, RepData):
-        sigma_inv_sqrt = data.scale / jnp.sqrt(sigma_raw)
-        v = data.phi * sigma_inv_sqrt[:, None]
-        b = data.r[None, :] * (data.ybar.T @ v).T
-        lam = 1.0 / (data.diag_D[:, None] * data.r[None, :])
-        jit_q = jitter * (1.0 + lLmb0[:, None])
-        b = _pad_to(b, n_pad, axis=1)
-        lam = _pad_to(lam, n_pad, axis=1, fill=1.0)
-        body = partial(_nshard_aux_rep_local, ndev=ndev, kernel=kernel,
-                       compute_dtype=compute_dtype)
-        fn = jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
-                      P(None, AXIS), P(None, None), P(None), P(None)),
-            out_specs=(P(None, AXIS), P(None, AXIS, None)))
-        u, L = fn(xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
-        return NShardAux(u=u, L=L, kind='rep')
+    sigma_inv_sqrt = data.scale / jnp.sqrt(sigma_raw)
+    v = data.phi * sigma_inv_sqrt[:, None]
+    b = data.r[None, :] * (data.ybar.T @ v).T
+    lam = 1.0 / (data.diag_D[:, None] * data.r[None, :])
+    jit_q = jitter * (1.0 + lLmb0[:, None])
+    b = _pad_to(b, n_pad, axis=1)
+    lam = _pad_to(lam, n_pad, axis=1, fill=1.0)
+    body = partial(_nshard_aux_rep_local, ndev=ndev, kernel=kernel,
+                   compute_dtype=compute_dtype)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
+                  P(None, AXIS), P(None, None), P(None), P(None)),
+        out_specs=(P(None, AXIS), P(None, AXIS, None)))
+    return fn(xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
+
+
+@partial(jax.jit, static_argnames=('mesh', 'compute_dtype', 'jitter',
+                                   'kernel'))
+def _aux_full_nsharded_jit(free, data, *, mesh, compute_dtype, jitter,
+                           kernel):
+    ndev = mesh.devices.size
+    n = data.xs.shape[0]
+    n_pad = -(-n // ndev) * ndev
+    lLmb, lLmb0, lsig_g, lnug = Pm.constrain(free)
+    lsig = Pm.expand_sigma(lsig_g, data.sigma_map)
+    sigma_raw = jnp.exp(lsig)
+
+    xs = _pad_to(data.xs, n_pad, axis=0, fill=0.5)
+    mask = _pad_to(jnp.ones((n,), dtype=data.xs.dtype), n_pad, axis=0)
 
     psi_c = data.phi / jnp.sqrt(sigma_raw)[:, None]
     a = _pad_to((data.ys.T @ psi_c).T, n_pad, axis=1)
@@ -713,7 +721,28 @@ def compute_aux_nsharded(free: Pm.FreeParams, data, mesh: Mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
                   P(None, None), P(None), P(None), P(None)),
         out_specs=(P(None, AXIS), P(None, AXIS, None)))
-    u, L = fn(xs, mask, a, lLmb, lLmb0, lnug, data.diag_D)
+    return fn(xs, mask, a, lLmb, lLmb0, lnug, data.diag_D)
+
+
+def compute_aux_nsharded(free: Pm.FreeParams, data, mesh: Mesh,
+                         compute_dtype=None, jitter: float = 0.0,
+                         kernel: str = 'matern32') -> NShardAux:
+    """Distributed predictive aux (dual weights + row-sharded factor).
+
+    Full path: the same B = D C + (1+jitter) I factor as the loss;
+    u = B^{-1} a is exactly the CinvM of ``predict.compute_aux_full``.
+    Rep path: u = (C + Lam)^{-1} Lam b (``predict.compute_aux_rep``).
+    Jitted with the mesh static so repeated aux refreshes reuse the
+    compiled executable.
+    """
+    if isinstance(data, RepData):
+        u, L = _aux_rep_nsharded_jit(free, data, mesh=mesh,
+                                     compute_dtype=compute_dtype,
+                                     jitter=jitter, kernel=kernel)
+        return NShardAux(u=u, L=L, kind='rep')
+    u, L = _aux_full_nsharded_jit(free, data, mesh=mesh,
+                                  compute_dtype=compute_dtype,
+                                  jitter=jitter, kernel=kernel)
     return NShardAux(u=u, L=L, kind='full')
 
 
