@@ -58,6 +58,17 @@ def cho_solve_vec(chols, vecs):
 
 _TRI_INV_BLOCK = 512
 
+# Precision for the f32 inverse-combination GEMMs: bf16_3x MXU passes
+# (~1e-6 relative — plenty for the gradient-path inverse these feed) at
+# ~2x the true-f32 (6-pass) rate.  NOT used for factorization updates,
+# where bf16-grade error breaks PSD margins (see config.py).  f64 inputs
+# ignore the setting (f64 matmul is its own emulation path).
+_INV_GEMM_PRECISION = lax.Precision.HIGH
+
+
+def _inv_mm(a, b):
+    return jnp.matmul(a, b, precision=_INV_GEMM_PRECISION)
+
 
 def tri_inverse_lower(chols):
     """L^{-1} for lower-triangular L, batched.
@@ -88,8 +99,8 @@ def tri_inverse_lower(chols):
         for i in range(k + 1, nd):
             ci = slice(i * nb, (i + 1) * nb)
             mid = slice(k * nb, i * nb)
-            acc = chols[..., ci, mid] @ X[..., mid, ck]
-            X = X.at[..., ci, ck].set(-(invs[i] @ acc))
+            acc = _inv_mm(chols[..., ci, mid], X[..., mid, ck])
+            X = X.at[..., ci, ck].set(-_inv_mm(invs[i], acc))
     return X
 
 
@@ -99,10 +110,13 @@ def chol_inverse(chols):
     One triangular inverse + one (MXU) symmetric matmul instead of the two
     chained triangular solves of ``cho_solve(L, I)`` — measured 1.8x faster
     on TPU in emulated f64 at n=4096 (136 vs 247 ms per component), where
-    the GEMM runs at ~1.4 TFLOP/s but triangular solves crawl.
+    the GEMM runs at ~1.4 TFLOP/s but triangular solves crawl.  In f32
+    this was the whole backward's bottleneck at true-f32 GEMM precision
+    (120 of 190 ms/eval net); the bf16_3x combination GEMMs halve it.
     """
     linv = tri_inverse_lower(chols)
-    return jnp.einsum('...kn,...km->...nm', linv, linv)
+    return jnp.einsum('...kn,...km->...nm', linv, linv,
+                      precision=_INV_GEMM_PRECISION)
 
 
 def quad_chol(chols, vecs):
