@@ -704,7 +704,9 @@ class LCGP:
         Cholesky with its memory-bounded custom-VJP backward; the optimizer
         loop (and callbacks, incl. checkpointing) is the same host-synced
         one as single-device fit.  Also arms the model's n-sharded
-        aux/predict path (set_mesh).
+        aux/predict path (set_mesh).  precision='mixed' degrades to full
+        f64 factorizations on this path (correct, just without the
+        refinement speedup); 'fast' (f32) is supported.
         """
         self.set_mesh(mesh)
         from ..parallel import nshard
