@@ -40,14 +40,24 @@ def _factor_solve_vec(L, B, v, compute_dtype):
 
 
 def _factor_inverse(L, compute_dtype):
-    """(L L^T)^{-1} for the loss VJPs.  On the mixed path this is the
-    dominant f64 op (VERDICT r2 weak #4: 'the backward's chol_inverse is
-    not on the mixed path'); replace the f64 triangular inverse with the
-    GEMM-dominant f32-seed + Newton refinement."""
-    steps = mixed_ops.parse_refine(compute_dtype)
-    if steps is not None:
-        return mixed_ops.chol_inverse_from_factor_mixed(
-            L, newton_steps=max(1, steps - 1))
+    """(L L^T)^{-1} for the loss VJPs.
+
+    Mixed-path design point (round 3, re-measured): every f64 Newton/
+    refinement GEMM on the (q,n,n) stack costs ~1.9 s at the headline
+    config while the whole f64 eval is 11.7 s — an f64-grade backward
+    inverse can never make 'mixed' meaningfully faster than 'high'.  So
+    'mixed' = f64-grade LOSS (refined forward — line searches see true
+    f64 objective resolution) + f32-grade GRADIENTS: the bwd inverse is
+    the f32 potri seed alone (error ~eps32*cond)."""
+    if mixed_ops.is_mixed(compute_dtype):
+        # seed-only: the gradient's error floor is set by the f32
+        # contraction passes (Cbar/gram_vjp), which Newton steps on the
+        # inverse cannot lower — measured: escalated Newton changed the
+        # high-conditioning gradient error not at all while costing
+        # ~2 s/step of f64 GEMMs.  'mixed:N' escalation therefore
+        # tightens only the FORWARD refinement (the loss, which has the
+        # 1e-8 criterion).
+        return mixed_ops.chol_inverse_from_factor_mixed(L, newton_steps=0)
     return linalg.chol_inverse(L)
 from . import params as P
 
@@ -172,16 +182,21 @@ def _full_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
 def _full_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
     xs, lLmb, lLmb0, lnug, D, a, LB, w = res
     dt = LB.dtype
-    Dm = D.astype(dt)
-    Binv = _factor_inverse(LB, compute_dtype)
-    tb = tbar.astype(dt)
+    # mixed: the gradient-side (q,n,n) work (inverse cotangent assembly +
+    # kernel VJP elementwise passes) runs in f32 — see _factor_inverse
+    vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else dt
+    Dm = D.astype(vdt)
+    Binv = _factor_inverse(LB, compute_dtype).astype(vdt)
+    tb = tbar.astype(vdt)
+    w_v = w.astype(vdt)
     Cbar = tb[:, None, None] * (0.5 * Dm[:, None, None] * Binv
-                                - 0.5 * w[:, :, None] * w[:, None, :])
+                                - 0.5 * w_v[:, :, None] * w_v[:, None, :])
     glens, gamp, gnug = gram_vjp(xs, xs, lLmb, lLmb0, lnug, same=True,
                                  cbar=Cbar, kind=kernel)
-    # C w = (a - (1+jitter) w) / D  (from B w = a, B = D C + (1+jitter) I)
-    Cw = (a.astype(dt) - (1.0 + jitter) * w) / Dm[:, None]
-    abar = (-tb[:, None] * Cw).astype(a.dtype)
+    # C w = (a - (1+jitter) w) / D  (from B w = a, B = D C + (1+jitter) I);
+    # O(q n) — stays in the factor dtype
+    Cw = (a.astype(dt) - (1.0 + jitter) * w) / D.astype(dt)[:, None]
+    abar = (-tbar.astype(dt)[:, None] * Cw).astype(a.dtype)
     return (jnp.zeros_like(xs), glens.astype(lLmb.dtype),
             gamp.astype(lLmb0.dtype), gnug.astype(lnug.dtype),
             jnp.zeros_like(D), abar)
@@ -234,13 +249,15 @@ def _rep_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
 def _rep_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
     xs, sr, lLmb, lLmb0, lnug, D, b, LT, u, Cu = res
     dt = LT.dtype
-    Tinv = _factor_inverse(LT, compute_dtype)            # (C + Lam)^{-1}
-    tb = tbar.astype(dt)
+    vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else dt
+    Tinv = _factor_inverse(LT, compute_dtype).astype(vdt)  # (C + Lam)^{-1}
+    tb = tbar.astype(vdt)
+    u_v = u.astype(vdt)
     Cbar = tb[:, None, None] * (0.5 * Tinv
-                                - 0.5 * u[:, :, None] * u[:, None, :])
+                                - 0.5 * u_v[:, :, None] * u_v[:, None, :])
     glens, gamp, gnug = gram_vjp(xs, xs, lLmb, lLmb0, lnug, same=True,
                                  cbar=Cbar, kind=kernel)
-    bbar = (-tb[:, None] * Cu).astype(b.dtype)
+    bbar = (-tbar.astype(dt)[:, None] * Cu).astype(b.dtype)
     return (jnp.zeros_like(xs), jnp.zeros_like(sr),
             glens.astype(lLmb.dtype), gamp.astype(lLmb0.dtype),
             gnug.astype(lnug.dtype), jnp.zeros_like(D), bbar)

@@ -122,9 +122,14 @@ def chol_inverse_from_factor_mixed(L64, newton_steps: int = 1):
 
     The residual contracts quadratically from e0 ~ eps32*cond: one step
     reaches ~e0^2 (f64 floor for cond <~ 1e3), two steps ~e0^4 (floor for
-    cond <~ 3e5); the caller pairs the step count with the forward's
-    adaptive refine_steps (likelihood VJPs use newton_steps =
-    refine_steps - 1).
+    cond <~ 3e5).  newton_steps=0 returns the f32 potri seed cast to the
+    factor dtype (error ~eps32*cond) — the 'mixed' default: gradients at
+    f32 grade, since each f64 Newton GEMM costs ~1.9 s at the headline
+    config while the entire f64 eval is 11.7 s.  The likelihood VJPs
+    always use newton_steps=0 (the f32 contraction passes downstream set
+    the gradient's error floor anyway — Newton on the inverse cannot
+    lower it); 'mixed:N' escalation tightens the FORWARD refinement
+    only, where the loss carries the 1e-8 accuracy criterion.
     """
     L32 = L64.astype(jnp.float32)
     X = linalg.chol_inverse(L32).astype(L64.dtype)

@@ -261,9 +261,11 @@ class TestMixedPrecision:
         g_hi = jax.grad(lambda fr: lik.neglpost_full(fr, data))(free)
         g_mx = jax.grad(lambda fr: lik.neglpost_full(
             fr, data, compute_dtype='mixed'))(free)
+        # mixed gradients are f32-grade by design (round 3; the loss
+        # stays f64-grade — see likelihood._factor_inverse)
         for a, b in zip(jax.tree.leaves(g_hi), jax.tree.leaves(g_mx)):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                       rtol=1e-6, atol=1e-9)
+                                       rtol=5e-4, atol=1e-7)
 
     def test_model_level_mixed(self):
         from lcgp_tpu import LCGP, datasets
@@ -286,25 +288,49 @@ class TestMixedBackwardAndEscalation:
         assert mixed_ops.parse_refine(jnp.float32) is None
         assert mixed_ops.is_mixed('mixed:3')
 
-    def test_mixed_gradient_matches_f64(self):
-        """The VJP's inverse now runs on the mixed (Newton-refined) path;
-        gradients must still match the f64 path tightly."""
+    def test_mixed_gradient_f32_grade(self):
+        """'mixed' = f64-grade loss + f32-grade gradients (design point:
+        an f64-grade backward inverse costs more than it saves — see
+        likelihood._factor_inverse)."""
         data, free, *_ = _full_setup(21, 48, 2, 4)
         g64 = jax.grad(lambda fr: lik.neglpost_full(fr, data))(free)
         gmx = jax.grad(lambda fr: lik.neglpost_full(
             fr, data, compute_dtype='mixed'))(free)
         for a, b in zip(jax.tree.leaves(gmx), jax.tree.leaves(g64)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-7, atol=1e-10)
+                                       rtol=5e-4, atol=1e-7)
 
-    def test_mixed_rep_gradient_matches_f64(self):
+    def test_mixed_gradient_bounded_at_high_conditioning(self):
+        """The f32-grade mixed gradient must stay within ~1% of f64 even
+        at amplitudes near the SoftClip ceiling (the escalation path
+        tightens the forward/loss, which carries the 1e-8 criterion —
+        validated on TPU by benchmarks/validate_mixed.py)."""
+        import jax.numpy as jnp
+        from lcgp_tpu.models import params as Pm
+        data, free, *_ = _full_setup(21, 48, 2, 4)
+        lLmb, lLmb0, lsig, lnug = Pm.constrain(free)
+        free = Pm.unconstrain(lLmb, jnp.full_like(lLmb0, 5e3), lsig, lnug)
+        g64 = jax.grad(lambda fr: lik.neglpost_full(fr, data))(free)
+        gmx = jax.grad(lambda fr: lik.neglpost_full(
+            fr, data, compute_dtype='mixed'))(free)
+        rel = max(float(np.max(
+            np.abs(np.asarray(a) - np.asarray(b))
+            / np.maximum(1e-7, np.abs(np.asarray(b)))))
+            for a, b in zip(jax.tree.leaves(gmx), jax.tree.leaves(g64)))
+        assert rel < 1e-2, rel
+        # and the loss stays at the f64 floor
+        ref = float(lik.neglpost_full(free, data))
+        mx = float(lik.neglpost_full(free, data, compute_dtype='mixed'))
+        assert abs(mx - ref) / abs(ref) < 1e-9
+
+    def test_mixed_rep_gradient_f32_grade(self):
         data, free, *_ = _rep_setup(22, 40, 2, 4)
         g64 = jax.grad(lambda fr: lik.neglpost_rep(fr, data))(free)
         gmx = jax.grad(lambda fr: lik.neglpost_rep(
             fr, data, compute_dtype='mixed'))(free)
         for a, b in zip(jax.tree.leaves(gmx), jax.tree.leaves(g64)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-7, atol=1e-10)
+                                       rtol=5e-4, atol=1e-7)
 
     def test_escalated_steps_loss_matches(self):
         data, free, *_ = _full_setup(23, 32, 2, 4)
