@@ -384,10 +384,22 @@ class LCGP:
     # Training
     # ------------------------------------------------------------------
     def loss(self):
+        if self.precision == 'mixed':
+            # out-of-fit loss evaluations (e.g. at externally-set params)
+            # must also see conditioning-appropriate forward refinement;
+            # ratchet up only, so the jit cache is stable
+            self._sync_refine_steps()
         try:
             return self.submethod_loss_map[self.submethod]()
         except KeyError:
             raise ValueError("Invalid submethod. Choices are 'full' or 'rep'.")
+
+    def _sync_refine_steps(self):
+        from ..ops import mixed as mixed_ops
+        cur = mixed_ops.parse_refine(self._compute_dtype)
+        rec = self.recommended_refine_steps()
+        if cur is not None and rec > cur:
+            self._set_refine_steps(rec)
 
     def neglpost(self):
         if self._z is not None:

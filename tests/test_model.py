@@ -283,3 +283,31 @@ class TestAutoQChunk:
         assert m.q_chunk == 2
         m0 = LCGP(y=y, x=x, q=4, q_chunk=0)   # force unchunked
         assert m0.q_chunk is None
+
+
+class TestMixedRefineRatchet:
+    def test_loss_ratchets_refine_steps(self):
+        """Out-of-fit loss() on a mixed model must see conditioning-
+        appropriate forward refinement (the validate_mixed copied-params
+        pattern): steps ratchet up, never down."""
+        import jax.numpy as jnp
+        import numpy as np
+        from lcgp_tpu import LCGP
+        from lcgp_tpu.models import params as Pm
+        rng = np.random.default_rng(7)
+        y = rng.standard_normal((3, 128))
+        x = rng.uniform(0, 1, (128, 2))
+        m = LCGP(y=y, x=x, q=3, precision='mixed')
+        assert m._compute_dtype == 'mixed'
+        lLmb, lLmb0, lsig, lnug = Pm.constrain(m._free)
+        m._free = Pm.unconstrain(lLmb, jnp.full_like(lLmb0, 9e3), lsig, lnug)
+        m._params_version += 1
+        assert m.recommended_refine_steps() > 2
+        lo = float(m.loss())
+        assert np.isfinite(lo)
+        assert m._compute_dtype == f'mixed:{m.recommended_refine_steps()}'
+        # and it never ratchets down
+        m._free = Pm.unconstrain(lLmb, lLmb0, lsig, lnug)
+        m._params_version += 1
+        float(m.loss())
+        assert m._compute_dtype != 'mixed'
