@@ -43,8 +43,14 @@ def main():
 
     for idx in [int(s) for s in args.configs.split(',')]:
         cfg = CONFIGS[idx]()
-        hi = LCGP(y=cfg['y'], x=cfg['x'], precision='high', **cfg['kwargs'])
-        mx = LCGP(y=cfg['y'], x=cfg['x'], precision='mixed', **cfg['kwargs'])
+        kw = dict(cfg['kwargs'])
+        # config kwargs may pin q_chunk for the f32/'fast' runs; here both
+        # models are f64-grade — let _auto_q_chunk size the chunk to HBM
+        # (explicit q_chunk=10 OOMs the mixed forward at the n=4096 config:
+        # the f64 refinement residuals live alongside the f32 seed chol)
+        kw.pop('q_chunk', None)
+        hi = LCGP(y=cfg['y'], x=cfg['x'], precision='high', **kw)
+        mx = LCGP(y=cfg['y'], x=cfg['x'], precision='mixed', **kw)
 
         loss_hi0, loss_mx0 = float(hi.loss()), float(mx.loss())
 
