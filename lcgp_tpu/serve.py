@@ -17,6 +17,8 @@ API:
   GET  /info               -> model/config summary
   POST /predict {"x": [[...], ...]}
        -> {"ypred": [[p x n0]], "ypredvar": ..., "yconfvar": ...}
+  POST /predict {"x": ..., "fullcov": true}
+       -> adds "yfullcov" (n0 x p x p); submethod='full' models only
 
 Usage:
   python -m lcgp_tpu.serve model.npz --port 8080 --batch-size 256
@@ -58,6 +60,8 @@ class PredictServer:
         self.batch_size = int(batch_size)
         self._httpd = None
         self._fn = self._build_fused()
+        self._fn_fullcov = None                  # built on first use
+        self._fullcov_lock = threading.Lock()
         self._queue: queue_mod.Queue = queue_mod.Queue()
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
@@ -128,6 +132,58 @@ class PredictServer:
                 raise c.error
         return tuple(np.concatenate([c.result[i] for c in chunks], axis=1)
                      for i in range(3))
+
+    def predict_fullcov(self, x0):
+        """Predict with the (n0, p, p) full predictive covariance.
+
+        Full-submethod models only (the rep path's fullcov slot is None by
+        the reference contract, lcgp.py:928-929).  Fullcov payloads are
+        O(n0 p^2) — requests run serialized through their own fused
+        executable rather than the row-microbatcher (coalescing rows of
+        different requests would not reduce the dominant p^2 cost).
+        """
+        if self.model.submethod != 'full':
+            raise ValueError('full predictive covariance is only available '
+                             "for submethod='full' models")
+        x0 = np.atleast_2d(np.asarray(x0, dtype=np.float64))
+        if x0.shape[1] != int(self.model.d):
+            raise ValueError(
+                f'expected (n0, {int(self.model.d)}) inputs, got {x0.shape}')
+        with self._fullcov_lock:
+            if self._fn_fullcov is None:
+                self._fn_fullcov = self._build_fused_fullcov()
+            bs = self.batch_size
+            outs = []
+            for s in range(0, x0.shape[0], bs):
+                blk = x0[s:s + bs]
+                k = blk.shape[0]
+                if k < bs:
+                    blk = np.concatenate(
+                        [blk, np.repeat(blk[-1:], bs - k, axis=0)])
+                res = [np.asarray(o) for o in self._fn_fullcov(blk)]
+                outs.append((res[0][:, :k], res[1][:, :k], res[2][:, :k],
+                             res[3][:k]))
+        return tuple(np.concatenate([o[i] for o in outs],
+                                    axis=1 if i < 3 else 0)
+                     for i in range(4))
+
+    def _build_fused_fullcov(self):
+        import jax
+
+        model = self.model
+        aux = model._ensure_aux()
+        free, data = model._free, model._data
+        from .models import predict as pred
+
+        def fused(x0):
+            x0s = (x0 - model.x_min) / (model.x_max - model.x_min)
+            ghat, gvar = model._latent_predict(aux, x0s)
+            yp, ypv, ycv = pred.recombine_full(free, data, ghat, gvar,
+                                               model.ymean, model.ystd)
+            cov = pred.fullcov_full(free, data, gvar, model.ystd)
+            return yp, ypv, ycv, cov
+
+        return jax.jit(fused)
 
     def _dispatch_loop(self):
         """Dispatcher thread: sole owner of the device executable.
@@ -209,13 +265,20 @@ class PredictServer:
                     req = json.loads(self.rfile.read(length) or b'{}')
                     x0 = req['x']
                     t0 = time.time()
-                    ypred, ypredvar, yconfvar = server.predict(x0)
-                    self._reply(200, {
+                    if req.get('fullcov'):
+                        ypred, ypredvar, yconfvar, cov = \
+                            server.predict_fullcov(x0)
+                        payload = {'yfullcov': cov.tolist()}
+                    else:
+                        ypred, ypredvar, yconfvar = server.predict(x0)
+                        payload = {}
+                    payload.update({
                         'ypred': ypred.tolist(),
                         'ypredvar': ypredvar.tolist(),
                         'yconfvar': yconfvar.tolist(),
                         'latency_s': round(time.time() - t0, 4),
                     })
+                    self._reply(200, payload)
                 except (KeyError, ValueError, TypeError) as e:
                     self._reply(400, {'error': str(e)})
         return Handler

@@ -151,3 +151,50 @@ class TestMicrobatching:
             t.join(timeout=120)
         srv.shutdown()
         assert len(calls) < n_req, (len(calls), calls)
+
+
+class TestFullcovServing:
+    def test_fullcov_matches_model(self):
+        rng = np.random.default_rng(11)
+        x = rng.uniform(0, 1, (30, 2))
+        y = np.vstack([np.sin(5 * x[:, 0]), np.cos(4 * x[:, 1]),
+                       x[:, 0] * x[:, 1]]) + rng.normal(0, 0.05, (3, 30))
+        m = LCGP(y=y, x=x, q=3)          # submethod='full'
+        m.fit(maxiter=30)
+        srv = PredictServer(m, batch_size=8, warmup=False)
+        x0 = rng.uniform(0, 1, (11, 2))  # exercises pad + multi-chunk
+        yp_s, ypv_s, ycv_s, cov_s = srv.predict_fullcov(x0)
+        yp_m, ypv_m, ycv_m, cov_m = (np.asarray(o) for o in
+                                     m.predict(x0, return_fullcov=True))
+        np.testing.assert_allclose(yp_s, yp_m, rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(cov_s, cov_m, rtol=1e-10, atol=1e-12)
+        srv.shutdown()
+
+    def test_fullcov_rejected_for_rep(self, fitted_model):
+        srv = PredictServer(fitted_model, batch_size=8, warmup=False)
+        with pytest.raises(ValueError, match='full'):
+            srv.predict_fullcov(np.zeros((2, 1)))
+        srv.shutdown()
+
+    def test_http_fullcov(self):
+        rng = np.random.default_rng(12)
+        x = rng.uniform(0, 1, (25, 1))
+        y = np.vstack([np.sin(6 * x[:, 0]),
+                       np.cos(6 * x[:, 0])]) + rng.normal(0, 0.05, (2, 25))
+        m = LCGP(y=y, x=x, q=2)
+        m.fit(maxiter=20)
+        srv = PredictServer(m, batch_size=8, warmup=False)
+        httpd, _ = srv.serve(port=0, background=True)
+        port = httpd.server_address[1]
+        body = json.dumps({'x': x[:3].tolist(), 'fullcov': True}).encode()
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict', data=body,
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert 'yfullcov' in out
+        cov = np.asarray(out['yfullcov'])
+        assert cov.shape == (3, 2, 2)
+        cov_m = np.asarray(m.predict(x[:3], return_fullcov=True)[3])
+        np.testing.assert_allclose(cov, cov_m, rtol=1e-8, atol=1e-10)
+        srv.shutdown()
