@@ -820,11 +820,13 @@ class LCGP:
             elif self.submethod == 'rep':
                 self._aux = pred.compute_aux_rep(
                     self._free, self._data, compute_dtype=aux_dtype,
-                    jitter=self._jitter, kernel=self.kernel)
+                    jitter=self._jitter, kernel=self.kernel,
+                    q_chunk=self.q_chunk)
             else:
                 self._aux = pred.compute_aux_full(
                     self._free, self._data, compute_dtype=aux_dtype,
-                    jitter=self._jitter, kernel=self.kernel)
+                    jitter=self._jitter, kernel=self.kernel,
+                    q_chunk=self.q_chunk)
             self._aux_version = self._params_version
         return self._aux
 
@@ -990,7 +992,7 @@ class LCGP:
                 else pred.predict_full_core)
         return core(self._free, self._data, aux, x0s,
                     compute_dtype=self._compute_dtype, jitter=self._jitter,
-                    kernel=self.kernel)
+                    kernel=self.kernel, q_chunk=self.q_chunk)
 
     def predict_full(self, x0, return_fullcov: bool = False):
         aux = self._ensure_aux()

@@ -27,7 +27,8 @@ from ..ops import linalg
 from ..ops.gram import gram_stack
 from ..ops.matern import matern32_diag
 from . import params as P
-from .likelihood import FullData, RepData, _bmv, _factor, _factor_solve_vec
+from .likelihood import (FullData, RepData, _bmv, _factor, _factor_solve_vec,
+                         _map_components)
 
 
 class FullAux(NamedTuple):
@@ -45,40 +46,60 @@ class RepAux(NamedTuple):
                          # q != p, lcgp.py:754 — fixed here)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel",
+                                   "q_chunk"))
 def compute_aux_full(free: P.FreeParams, data: FullData,
                      compute_dtype=None, jitter: float = 0.0,
-                     kernel: str = "matern32") -> FullAux:
+                     kernel: str = "matern32",
+                     q_chunk: int | None = None) -> FullAux:
     lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
     lsig = P.expand_sigma(lsig_g, data.sigma_map)
     sigma = jnp.exp(lsig)
 
     B = (data.ys.T / jnp.sqrt(sigma)[None, :]) @ data.phi      # (n, q)
-    C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
-                   compute_dtype=compute_dtype, kind=kernel)
-    Bmat = linalg.add_diag(data.diag_D[:, None, None].astype(C.dtype) * C,
-                           1.0 + jitter)
-    LB = _factor(Bmat, compute_dtype)
-    CinvM = _factor_solve_vec(LB, Bmat, B.T.astype(LB.dtype),
-                              compute_dtype)                    # (q, n)
+
+    def body(stacks):
+        lLmb_c, lLmb0_c, lnug_c, D_c, b_c = stacks
+        C = gram_stack(data.xs, data.xs, lLmb_c, lLmb0_c, lnug_c, same=True,
+                       compute_dtype=compute_dtype, kind=kernel)
+        Bmat = linalg.add_diag(D_c[:, None, None].astype(C.dtype) * C,
+                               1.0 + jitter)
+        LB = _factor(Bmat, compute_dtype)
+        CinvM = _factor_solve_vec(LB, Bmat, b_c.astype(LB.dtype),
+                                  compute_dtype)                # (qc, n)
+        return CinvM, LB
+
+    # q_chunk bounds the per-chunk transients (Gram + factor-target +
+    # Cholesky scratch) exactly like the loss (VERDICT r3 find: the
+    # unchunked f64 aux at q=20, n=4096 exceeds HBM on predict)
+    CinvM, LB = _map_components(
+        body, (lLmb, lLmb0, lnug, data.diag_D, B.T), q_chunk)
     return FullAux(CinvM=CinvM, LB=LB)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel",
+                                   "q_chunk"))
 def predict_full_core(free: P.FreeParams, data: FullData, aux: FullAux, x0s,
                       compute_dtype=None, jitter: float = 0.0,
-                      kernel: str = "matern32"):
+                      kernel: str = "matern32", q_chunk: int | None = None):
     """Latent predictive mean/var at standardized x0s.  Returns (ghat, gvar),
     each (q, n0)."""
     lLmb, lLmb0, _, lnug = P.constrain(free)
     c00 = matern32_diag(x0s, lLmb0)                             # (q, n0)
-    c0 = gram_stack(x0s, data.xs, lLmb, lLmb0, lnug, same=False,
-                    compute_dtype=compute_dtype, kind=kernel)   # (q, n0, n)
-    ghat = _bmv(c0, aux.CinvM)
-    M = linalg.solve_tri_lower(aux.LB, jnp.swapaxes(c0, -1, -2))  # (q, n, n0)
-    gvar = c00.astype(M.dtype) - data.diag_D[:, None].astype(M.dtype) * \
-        jnp.sum(jnp.square(M), axis=-2)
-    return ghat, gvar
+
+    def body(stacks):
+        lLmb_c, lLmb0_c, lnug_c, D_c, c00_c, CinvM_c, LB_c = stacks
+        c0 = gram_stack(x0s, data.xs, lLmb_c, lLmb0_c, lnug_c, same=False,
+                        compute_dtype=compute_dtype, kind=kernel)  # (qc,n0,n)
+        ghat = _bmv(c0, CinvM_c)
+        M = linalg.solve_tri_lower(LB_c, jnp.swapaxes(c0, -1, -2))
+        gvar = c00_c.astype(M.dtype) - D_c[:, None].astype(M.dtype) * \
+            jnp.sum(jnp.square(M), axis=-2)
+        return ghat, gvar
+
+    return _map_components(
+        body, (lLmb, lLmb0, lnug, data.diag_D, c00, aux.CinvM, aux.LB),
+        q_chunk)
 
 
 @jax.jit
@@ -114,10 +135,12 @@ def fullcov_full(free: P.FreeParams, data: FullData, gvar, ystd):
     return cov * (ystd_vec[:, None] * ystd_vec[None, :])[None, :, :]
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel",
+                                   "q_chunk"))
 def compute_aux_rep(free: P.FreeParams, data: RepData,
                     compute_dtype=None, jitter: float = 0.0,
-                    kernel: str = "matern32") -> RepAux:
+                    kernel: str = "matern32",
+                    q_chunk: int | None = None) -> RepAux:
     """Rep-path predictive aux via the classic GP system.
 
     The reference computes the dual weights by Woodbury cancellation,
@@ -141,42 +164,52 @@ def compute_aux_rep(free: P.FreeParams, data: RepData,
     v = data.phi * sigma_inv_sqrt[:, None]                      # (p, q)
     b = r[None, :] * (data.ybar.T @ v).T                        # (q, n)
 
-    C = gram_stack(data.xs, data.xs, lLmb, lLmb0, lnug, same=True,
-                   compute_dtype=compute_dtype, kind=kernel)
-    D = data.diag_D.astype(C.dtype)
+    def body(stacks):
+        lLmb_c, lLmb0_c, lnug_c, D_c, b_c = stacks
+        C = gram_stack(data.xs, data.xs, lLmb_c, lLmb0_c, lnug_c, same=True,
+                       compute_dtype=compute_dtype, kind=kernel)
+        D = D_c.astype(C.dtype)
+        # LT = chol(C + diag(1/(D r))): shared by dual weights and
+        # variances.  Jitter formula matches the training loss
+        # (_rep_terms_fwd_impl) so the predictive factor is the same
+        # regularized system the hyperparameters were optimized against.
+        lam = 1.0 / (D[:, None] * r[None, :])                   # (qc, n)
+        jit_d = jitter * (1.0 + lLmb0_c.astype(C.dtype)[:, None])
+        A = linalg.add_diag(C, lam + jit_d)
+        LT = _factor(A, compute_dtype)
+        CinvM = _factor_solve_vec(LT, A, (lam * b_c).astype(LT.dtype),
+                                  compute_dtype)
+        # training-point latent means m = S b = C @ CinvM (diagnostic,
+        # reference lcgp.py:779)
+        m = _bmv(C, CinvM)
+        return CinvM, LT, m
 
-    # LT = chol(C + diag(1/(D r))): shared by dual weights and variances.
-    # Jitter formula matches the training loss (_rep_terms_fwd_impl) so the
-    # predictive factor is the same regularized system the hyperparameters
-    # were optimized against.
-    lam = 1.0 / (D[:, None] * r[None, :])                       # (q, n)
-    jit_d = jitter * (1.0 + lLmb0.astype(C.dtype)[:, None])
-    A = linalg.add_diag(C, lam + jit_d)
-    LT = _factor(A, compute_dtype)
-
-    CinvM = _factor_solve_vec(LT, A, (lam * b).astype(LT.dtype),
-                              compute_dtype)
-
-    # training-point latent means m = S b = C @ CinvM (diagnostic,
-    # reference lcgp.py:779)
-    m = _bmv(C, CinvM)
+    CinvM, LT, m = _map_components(
+        body, (lLmb, lLmb0, lnug, data.diag_D, b), q_chunk)
 
     psi_c = data.phi.T * sigma_inv_sqrt[None, :]                # (q, p)
     return RepAux(CinvM=CinvM, LT=LT, mks=m, psi_c=psi_c)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel"))
+@partial(jax.jit, static_argnames=("compute_dtype", "jitter", "kernel",
+                                   "q_chunk"))
 def predict_rep_core(free: P.FreeParams, data: RepData, aux: RepAux, x0s,
                      compute_dtype=None, jitter: float = 0.0,
-                     kernel: str = "matern32"):
+                     kernel: str = "matern32", q_chunk: int | None = None):
     lLmb, lLmb0, _, lnug = P.constrain(free)
     c00 = matern32_diag(x0s, lLmb0)
-    c0 = gram_stack(x0s, data.xs, lLmb, lLmb0, lnug, same=False,
-                    compute_dtype=compute_dtype, kind=kernel)   # (q, n0, n)
-    ghat = _bmv(c0, aux.CinvM)
-    M = linalg.solve_tri_lower(aux.LT, jnp.swapaxes(c0, -1, -2))
-    gvar = c00.astype(M.dtype) - jnp.sum(jnp.square(M), axis=-2)
-    return ghat, gvar
+
+    def body(stacks):
+        lLmb_c, lLmb0_c, lnug_c, c00_c, CinvM_c, LT_c = stacks
+        c0 = gram_stack(x0s, data.xs, lLmb_c, lLmb0_c, lnug_c, same=False,
+                        compute_dtype=compute_dtype, kind=kernel)
+        ghat = _bmv(c0, CinvM_c)
+        M = linalg.solve_tri_lower(LT_c, jnp.swapaxes(c0, -1, -2))
+        gvar = c00_c.astype(M.dtype) - jnp.sum(jnp.square(M), axis=-2)
+        return ghat, gvar
+
+    return _map_components(
+        body, (lLmb, lLmb0, lnug, c00, aux.CinvM, aux.LT), q_chunk)
 
 
 @jax.jit

@@ -139,3 +139,55 @@ class TestPredictRep:
         np.testing.assert_allclose(np.asarray(aux.psi_c),
                                    b.phi.T * sigma_inv_sqrt_used[None, :],
                                    rtol=1e-10)
+
+
+class TestQChunkedPredict:
+    """Chunked aux/predict must equal unchunked exactly (the f64 aux at the
+    headline scale exceeds HBM unchunked — round-3 find)."""
+
+    def test_full_aux_and_core_chunked_equal(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from lcgp_tpu.models import basis as basis_mod
+        from lcgp_tpu.models import likelihood as lik
+        from lcgp_tpu.models import params as P
+        from lcgp_tpu.models import predict as pred
+        rng = np.random.default_rng(31)
+        n, d, p, q = 24, 2, 6, 4
+        xs = rng.uniform(0, 1, (n, d))
+        ys = rng.standard_normal((p, n))
+        b = basis_mod.init_phi(ys, q=q)
+        data = lik.FullData(xs=jnp.asarray(xs), ys=jnp.asarray(ys),
+                            phi=jnp.asarray(b.phi),
+                            diag_D=jnp.asarray(b.diag_D),
+                            sigma_map=jnp.asarray(P.sigma_index_map([1] * p)))
+        free = P.init_values(xs, ys, q, [1] * p)
+        x0s = jnp.asarray(rng.uniform(0, 1, (7, d)))
+        a0 = pred.compute_aux_full(free, data)
+        a2 = pred.compute_aux_full(free, data, q_chunk=2)
+        np.testing.assert_array_equal(np.asarray(a0.CinvM),
+                                      np.asarray(a2.CinvM))
+        np.testing.assert_array_equal(np.asarray(a0.LB), np.asarray(a2.LB))
+        g0 = pred.predict_full_core(free, data, a0, x0s)
+        g2 = pred.predict_full_core(free, data, a2, x0s, q_chunk=2)
+        for u, v in zip(g0, g2):
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+    def test_model_level_chunked_predict_equal(self):
+        import numpy as np
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(32)
+        x = rng.uniform(0, 1, (30, 2))
+        xr = np.vstack([x, x[:10]])
+        y = rng.standard_normal((4, 40))
+        x0 = rng.uniform(0, 1, (9, 2))
+        for sub in ('full', 'rep'):
+            m1 = LCGP(y=y, x=xr, q=4, submethod=sub)
+            m2 = LCGP(y=y, x=xr, q=4, submethod=sub, q_chunk=2)
+            m2._free = m1._free
+            m2._params_version += 1
+            p1 = m1.predict(x0)
+            p2 = m2.predict(x0)
+            for u, v in zip(p1, p2):
+                np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                           rtol=1e-12, atol=1e-14)
