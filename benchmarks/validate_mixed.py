@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 
@@ -31,6 +32,12 @@ def main():
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--configs', default='1,2,3,4,5')
     ap.add_argument('--maxiter', type=int, default=150)
+    ap.add_argument('--params-ckpt', default=None,
+                    help='npz path prefix: after fitting the f64 model, save '
+                         'its free params to <prefix>_<config>.npz; if that '
+                         'file already exists, load it instead of fitting '
+                         '(the big-config f64 fit costs ~40 min through the '
+                         'remote-compile tunnel — pay it once)')
     args = ap.parse_args()
 
     if args.cpu:
@@ -38,6 +45,7 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
 
     import jax
+    import jax.numpy as jnp
     from lcgp_tpu import LCGP
     from run_configs import CONFIGS
 
@@ -63,7 +71,24 @@ def main():
         # the large configs validate in bounded time (the comparison is at
         # whatever point the fit reached — conditioning grows with fitting,
         # so any fitted point stresses the refinement more than init)
-        hi.fit(maxiter=args.maxiter)
+        ckpt = (f'{args.params_ckpt}_{cfg["name"]}.npz'
+                if args.params_ckpt else None)
+        if ckpt and os.path.exists(ckpt):
+            z = np.load(ckpt, allow_pickle=False)
+            hi._free = type(hi._free)(*[jnp.asarray(z[k]) for k in
+                                        ('lLmb', 'lLmb0', 'lsigma2s',
+                                         'lnugGPs')])
+            hi._params_version += 1
+            print(f'[validate_mixed] loaded fitted params from {ckpt}',
+                  flush=True)
+        else:
+            hi.fit(maxiter=args.maxiter)
+            if ckpt:
+                np.savez(ckpt, **{k: np.asarray(getattr(hi._free, k)) for k
+                                  in ('lLmb', 'lLmb0', 'lsigma2s',
+                                      'lnugGPs')})
+                print(f'[validate_mixed] saved fitted params to {ckpt}',
+                      flush=True)
         mx._free = hi._free
         mx._params_version += 1
 
