@@ -53,9 +53,12 @@ def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
     history: list = []
     plateaued = [False]
 
+    last_xk = [None]
+
     def scipy_cb(xk):
         nonlocal nit_seen
         nit_seen += 1
+        last_xk[0] = np.array(xk, copy=True)
         if callback is not None:
             callback(nit_seen, last_val[0], unravel(xk))
         if plateau_patience is not None:
@@ -87,14 +90,23 @@ def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
         return v, g
 
     use_cb = callback is not None or plateau_patience is not None
-    res = scipy.optimize.minimize(
-        fun_and_jac,
-        np.asarray(flat0, dtype=np.float64),
-        jac=True,
-        method="L-BFGS-B",
-        callback=scipy_cb if use_cb else None,
-        options=scipy_options or None,
-    )
+    try:
+        res = scipy.optimize.minimize(
+            fun_and_jac,
+            np.asarray(flat0, dtype=np.float64),
+            jac=True,
+            method="L-BFGS-B",
+            callback=scipy_cb if use_cb else None,
+            options=scipy_options or None,
+        )
+    except StopIteration:
+        # scipy < 1.11 does not translate a callback StopIteration into a
+        # graceful stop (ADVICE r3 medium); recover the best-seen iterate.
+        res = scipy.optimize.OptimizeResult(
+            x=last_xk[0] if last_xk[0] is not None
+            else np.asarray(flat0, dtype=np.float64),
+            fun=last_val[0], nit=nit_seen, nfev=neval, success=True,
+            message='plateau stop (pre-1.11 scipy StopIteration path)')
     msg = str(res.message)
     if plateaued[0]:
         reason = 'plateau'

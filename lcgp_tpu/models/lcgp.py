@@ -20,6 +20,7 @@ from typing import Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..config import dtype_for, jitter_for
@@ -164,8 +165,12 @@ class LCGP:
         # through parallel/nshard when present.
         self._n_mesh = None
         # FITC negative-variance clamp statistics from the last predict
-        # (health_check surfaces these; None = exact path or no predict yet)
-        self._fitc_clamp_stats = None
+        # (health_check surfaces these via the _fitc_clamp_stats property;
+        # None = exact path or no predict yet).  Stored as a device-side
+        # (count, worst, total) triple and only materialized on access, so
+        # batched predicts pay zero per-batch host syncs (ADVICE r3).
+        self._fitc_clamp_accum = None
+        self._in_batched_predict = False
 
         self._data = self._build_data()
 
@@ -953,22 +958,56 @@ class LCGP:
         # skipped padding for small inputs compiled a fresh program per
         # distinct n0: measured 15 s/request on the tunneled TPU backend.)
         n0 = x0.shape[0]
-        # pad the final chunk so every batch compiles to one shape
-        chunks = []
-        for s in range(0, n0, batch_size):
-            blk = x0[s:s + batch_size]
-            pad = batch_size - blk.shape[0]
-            if pad:
-                blk = jnp.concatenate([blk, blk[-1:].repeat(pad, axis=0)])
-            out = predict_call(x0=blk, return_fullcov=False)
-            chunks.append([o[:, :batch_size - pad] if pad else o
-                           for o in out])
+        # pad the final chunk so every batch compiles to one shape; clamp
+        # stats accumulate across batches (one reset here, not per batch)
+        self._fitc_clamp_accum = None
+        self._in_batched_predict = True
+        try:
+            chunks = []
+            for s in range(0, n0, batch_size):
+                blk = x0[s:s + batch_size]
+                pad = batch_size - blk.shape[0]
+                if pad:
+                    blk = jnp.concatenate([blk, blk[-1:].repeat(pad, axis=0)])
+                out = predict_call(x0=blk, return_fullcov=False)
+                chunks.append([o[:, :batch_size - pad] if pad else o
+                               for o in out])
+        finally:
+            self._in_batched_predict = False
         return tuple(jnp.concatenate([c[i] for c in chunks], axis=1)
                      for i in range(3))
 
     def _standardize_x0(self, x0):
         x0 = self._verify_data_types(x0)
         return (x0 - self.x_min) / (self.x_max - self.x_min)
+
+    def _record_clamp_stats(self, count, worst, total):
+        """Accumulate FITC variance-clamp statistics device-side.
+
+        Jit-safe (ADVICE r3 high): inside a trace (serving's fused predict
+        jits a function that calls _latent_predict) count/worst are Tracers
+        and recording is skipped — the clamp itself stays in-graph.  Outside
+        traces the device scalars are accumulated without host transfer;
+        materialization happens once, lazily, in the _fitc_clamp_stats
+        property (ADVICE r3 low: no per-batch device sync)."""
+        if isinstance(count, jax.core.Tracer):
+            return
+        prev = self._fitc_clamp_accum
+        if prev is None:
+            self._fitc_clamp_accum = (count, worst, int(total))
+        else:
+            self._fitc_clamp_accum = (prev[0] + count,
+                                      jnp.minimum(prev[1], worst),
+                                      prev[2] + int(total))
+
+    @property
+    def _fitc_clamp_stats(self):
+        acc = self._fitc_clamp_accum
+        if acc is None:
+            return None
+        count, worst, total = int(acc[0]), float(acc[1]), int(acc[2])
+        return dict(n_clamped=count, total=total,
+                    frac=count / total if total else 0.0, worst=worst)
 
     def _latent_predict(self, aux, x0s):
         if self._z is not None:
@@ -977,10 +1016,7 @@ class LCGP:
                 self._free, self._data, aux, self._z, x0s,
                 compute_dtype=self._compute_dtype, kernel=self.kernel)
             gvar, count, worst = sparse.clamp_variance(gvar)
-            self._fitc_clamp_stats = dict(
-                n_clamped=int(count), total=int(gvar.size),
-                frac=float(count) / float(gvar.size),
-                worst=float(worst))
+            self._record_clamp_stats(count, worst, gvar.size)
             return ghat, gvar
         if self._n_mesh is not None:
             from ..parallel import nshard
@@ -996,6 +1032,8 @@ class LCGP:
 
     def predict_full(self, x0, return_fullcov: bool = False):
         aux = self._ensure_aux()
+        if not self._in_batched_predict:
+            self._fitc_clamp_accum = None
         x0s = self._standardize_x0(x0)
         ghat, gvar = self._latent_predict(aux, x0s)
         self.ghat, self.gvar = ghat, gvar
@@ -1009,6 +1047,8 @@ class LCGP:
 
     def predict_rep(self, x0, return_fullcov: bool = False):
         aux = self._ensure_aux()
+        if not self._in_batched_predict:
+            self._fitc_clamp_accum = None
         x0s = self._standardize_x0(x0)
         ghat, gvar = self._latent_predict(aux, x0s)
         self.ghat, self.gvar = ghat, gvar

@@ -198,3 +198,40 @@ class TestFullcovServing:
         cov_m = np.asarray(m.predict(x[:3], return_fullcov=True)[3])
         np.testing.assert_allclose(cov, cov_m, rtol=1e-8, atol=1e-10)
         srv.shutdown()
+
+
+class TestInducingServing:
+    def test_serve_fitc_model(self):
+        """Serving an inducing-point (FITC) model: the fused predict jits
+        _latent_predict, so its clamp-stat recording must be jit-safe
+        (regression: ADVICE r3 high — ConcretizationTypeError at warmup)."""
+        rng = np.random.default_rng(5)
+        n, d, p = 120, 2, 4
+        x = rng.uniform(0, 1, (n, d))
+        y = np.vstack([np.sin(4 * x[:, 0]), np.cos(3 * x[:, 1]),
+                       x[:, 0] * x[:, 1], (x ** 2).sum(1)])
+        y = y + 0.05 * rng.standard_normal((p, n))
+        m = LCGP(y=y, x=x, q=3, inducing=16)
+        m.fit(method='adam', steps=20)
+        srv = PredictServer(m, batch_size=16, warmup=True)
+        x0 = rng.uniform(0, 1, (10, d))
+        yp_s, ypv_s, _ = srv.predict(x0)
+        yp_m, ypv_m, _ = map(np.asarray, m.predict(x0))
+        np.testing.assert_allclose(yp_s, yp_m, rtol=1e-10)
+        np.testing.assert_allclose(ypv_s, ypv_m, rtol=1e-10)
+
+    def test_clamp_stats_accumulate_across_batches(self):
+        """Batched predict accumulates clamp stats across batches instead of
+        overwriting per batch (ADVICE r3 low); total == q * n0."""
+        rng = np.random.default_rng(6)
+        n, d, p = 100, 2, 3
+        x = rng.uniform(0, 1, (n, d))
+        y = rng.standard_normal((p, n))
+        m = LCGP(y=y, x=x, q=2, inducing=12)
+        m.fit(method='adam', steps=10)
+        x0 = rng.uniform(0, 1, (25, d))
+        m.predict(x0, batch_size=8)  # 4 batches (last padded)
+        st = m._fitc_clamp_stats
+        assert st is not None
+        assert st['total'] == 2 * 32  # q * (padded batches: 4 * 8)
+        assert st['n_clamped'] >= 0 and 0 <= st['frac'] <= 1
