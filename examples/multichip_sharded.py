@@ -59,10 +59,11 @@ def main():
     print(f'sharded loss {float(v):.6f} vs single-device {single:.6f}')
 
     t0 = time.time()
-    free_fit, final_loss = parallel.fit_sharded(
+    free_fit, fit_res = parallel.fit_sharded(
         model._data, model._free, mesh, steps=args.steps, learning_rate=3e-2)
     print(f'{args.steps} sharded Adam steps in {time.time() - t0:.2f}s; '
-          f'loss {single:.4f} -> {float(final_loss):.4f}')
+          f'loss {single:.4f} -> {float(fit_res.fun):.4f} '
+          f'(stop: {fit_res.stop_reason})')
 
     # n-axis sharding: distributed blocked Cholesky over all devices.
     # End-to-end through the model API (round 3): fit(mesh=...) runs the

@@ -3,6 +3,9 @@ import pytest
 
 from lcgp_tpu.models import basis as B
 
+# pre-commit smoke set: oracle-parity + model-API (pytest -m quick, <3 min)
+pytestmark = pytest.mark.quick
+
 
 class TestBasis:
     def test_phi_orthogonality(self):

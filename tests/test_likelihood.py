@@ -12,6 +12,9 @@ from lcgp_tpu.models import params as P
 from lcgp_tpu.models import basis as basis_mod
 import oracle
 
+# pre-commit smoke set: oracle-parity + model-API (pytest -m quick, <3 min)
+pytestmark = pytest.mark.quick
+
 
 def _full_setup(seed=0, n=30, d=2, p=4, q=None, err=None):
     rng = np.random.default_rng(seed)

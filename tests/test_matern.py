@@ -6,6 +6,9 @@ import jax.numpy as jnp
 from lcgp_tpu.ops.matern import Matern32, matern32_gram, matern32_diag
 from oracle import matern32_np
 
+# pre-commit smoke set: oracle-parity + model-API (pytest -m quick, <3 min)
+pytestmark = pytest.mark.quick
+
 
 class TestValues:
     def test_1d_formula(self):

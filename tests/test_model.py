@@ -9,6 +9,9 @@ import pytest
 
 from lcgp_tpu import LCGP, evaluation
 
+# pre-commit smoke set: oracle-parity + model-API (pytest -m quick, <3 min)
+pytestmark = pytest.mark.quick
+
 
 def _make_full_data(seed=0, n=50, p=4, d=2):
     rng = np.random.default_rng(seed)
@@ -311,3 +314,63 @@ class TestMixedRefineRatchet:
         m._params_version += 1
         float(m.loss())
         assert m._compute_dtype != 'mixed'
+
+
+class TestAutoPrecision:
+    """precision='auto' policy: 'mixed' at n >= 2048, 'high' below
+    (VERDICT r3 item 6; criterion validated in benchmarks/validate_mixed)."""
+
+    def test_auto_resolves_high_below_threshold(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (50, 2))
+        y = rng.standard_normal((4, 50))
+        m = LCGP(y=y, x=x, q=2, precision='auto')
+        assert m.precision == 'high'
+        assert m._compute_dtype is None
+
+    def test_auto_resolves_mixed_at_threshold(self):
+        rng = np.random.default_rng(1)
+        n = LCGP._AUTO_MIXED_N
+        x = rng.uniform(0, 1, (n, 2))
+        y = rng.standard_normal((3, n))
+        m = LCGP(y=y, x=x, q=2, precision='auto')
+        assert m.precision == 'mixed'
+
+    def test_auto_uses_rep_collapsed_n(self):
+        # 3000 raw rows but only 100 unique sites: rep grouping shrinks n
+        # below the threshold, so 'auto' must resolve on the unique count
+        rng = np.random.default_rng(2)
+        xu = rng.uniform(0, 1, (100, 2))
+        x = np.repeat(xu, 30, axis=0)
+        y = rng.standard_normal((3, 3000))
+        m = LCGP(y=y, x=x, q=2, submethod='rep', precision='auto')
+        assert m.n == 100
+        assert m.precision == 'high'
+
+    def test_auto_fit_predict_small(self):
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 1, (60, 2))
+        y = np.vstack([np.sin(3 * x[:, 0]), np.cos(2 * x[:, 1])])
+        y = y + 0.05 * rng.standard_normal((2, 60))
+        m = LCGP(y=y, x=x, q=2, precision='auto')
+        l0 = float(m.loss())
+        m.fit(method='adam', steps=30)
+        assert float(m.loss()) < l0
+        yp, ypv, _ = m.predict(x[:5])
+        assert np.isfinite(np.asarray(yp)).all()
+
+    def test_mixed_hint_printed_once(self, capsys):
+        rng = np.random.default_rng(4)
+        x = rng.uniform(0, 1, (60, 2))
+        y = rng.standard_normal((2, 60))
+        m = LCGP(y=y, x=x, q=2, precision='high')
+        m._AUTO_MIXED_N = 50      # make the small model "large" for the hint
+        m._AUTO_ONDEVICE_N = 50   # (the hint lives in the large-n branch)
+        m.fit(method='adam', steps=2)          # explicit method: no hint
+        assert 'hint' not in capsys.readouterr().out
+        m.fit(method='scipy', maxiter=2)       # auto only: still no hint
+        assert 'hint' not in capsys.readouterr().out
+        m.fit(method='auto', maxiter=2)
+        assert "precision='mixed'" in capsys.readouterr().out
+        m.fit(method='auto', maxiter=2)        # one-time: not repeated
+        assert 'hint' not in capsys.readouterr().out

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 
 from lcgp_tpu.models import params as P
 
+# pre-commit smoke set: oracle-parity + model-API (pytest -m quick, <3 min)
+pytestmark = pytest.mark.quick
+
 
 class TestSoftClip:
     @pytest.mark.parametrize('clip', [P.LLMB_CLIP, P.LLMB0_CLIP, P.LNUG_CLIP])

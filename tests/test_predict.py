@@ -9,6 +9,9 @@ from lcgp_tpu.models import predict as pred
 import oracle
 from test_likelihood import _full_setup, _rep_setup
 
+# pre-commit smoke set: oracle-parity + model-API (pytest -m quick, <3 min)
+pytestmark = pytest.mark.quick
+
 
 def _x0(seed, n0, d):
     return np.random.default_rng(seed + 100).uniform(-0.1, 1.1, (n0, d))

@@ -3,6 +3,9 @@ import pytest
 
 from lcgp_tpu.models import transforms as tx
 
+# pre-commit smoke set: oracle-parity + model-API (pytest -m quick, <3 min)
+pytestmark = pytest.mark.quick
+
 
 class TestStandardizeX:
     @pytest.mark.parametrize('n,d', [(30, 1), (50, 2), (100, 3)])
