@@ -268,6 +268,7 @@ def _run():
                              'benchmarks', 'bench_baseline.json')
     vs64 = vs32 = None
     base_evals = None
+    base = {}
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
@@ -296,6 +297,9 @@ def _run():
         'rep_secs_per_eval_f32': round(secs_rep32, 4),
         'rep_secs_per_eval_mixed': round(secs_rep_mx, 4),
         'rep_evals_per_sec_f64': round(1.0 / secs_rep64, 4),
+        'rep_vs_baseline_f64': (
+            round((1.0 / secs_rep64) / base['rep_evals_per_sec_cpu'], 2)
+            if base.get('rep_evals_per_sec_cpu') else None),
         'rep_q_chunk_f64': chunk_rep64,
         'rep_q_chunk_f32': chunk_rep32,
         'device': dev,
@@ -303,6 +307,22 @@ def _run():
 
 
 def main():
+    # Watchdog: a tunnel stall mid-run would otherwise hang until the
+    # driver's kill (rc=124, no JSON).  SIGALRM converts the hang into the
+    # degraded-but-parseable line.  Override via BENCH_WATCHDOG_SECS.
+    import signal
+
+    def _on_alarm(signum, frame):
+        _degraded('watchdog: bench hung past '
+                  f'{os.environ.get("BENCH_WATCHDOG_SECS", "5400")}s '
+                  '(device stall mid-run)')
+        sys.stdout.flush()
+        os._exit(0)
+
+    if hasattr(signal, 'SIGALRM'):
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(int(os.environ.get('BENCH_WATCHDOG_SECS', '5400')))
+
     err = _probe_backend()
     if err is not None:
         _degraded(f'backend unavailable after retries: {err}')

@@ -34,6 +34,12 @@ def main():
                     help='also report secs/eval extrapolated to this n by '
                          'the O(n^3) factorization scaling (conservative: '
                          'cache effects make real large-n slower than n^3)')
+    ap.add_argument('--rep', action='store_true',
+                    help='measure the rep-submethod denominator instead '
+                         '(reference lcgp.py:554-630: per-k Python loop, '
+                         'Woodbury solve + slogdet per component); merges '
+                         'rep_* keys into the existing JSON')
+    ap.add_argument('--rbar', type=int, default=10)
     ap.add_argument('--out', default=os.path.join(os.path.dirname(__file__),
                                                   'bench_baseline.json'))
     args = ap.parse_args()
@@ -60,6 +66,74 @@ def main():
     ys_j = jnp.asarray(ys)
     sigma_map = jnp.asarray(P.sigma_index_map([1] * args.p))
     free = P.init_values(xs, ys, args.q, [1] * args.p)
+
+    if args.rep:
+        # replicate-averaged data at the same sites (ybar == ys here; the
+        # reference's rep cost does not depend on the raw replicate count,
+        # only on n_unique — r enters as a vector)
+        r_j = jnp.full(args.n, float(args.rbar))
+        sr = jnp.sqrt(r_j)
+
+        def neglpost_rep_ref(free):
+            """Reference rep loss (lcgp.py:554-630): per-k Python loop,
+            dense Woodbury solve + slogdet per component."""
+            lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
+            lsig = P.expand_sigma(lsig_g, sigma_map)
+            sigma = jnp.exp(lsig)
+            n = xs_j.shape[0]
+            p = ys_j.shape[0]
+            sigma_inv_sqrt = 1.0 / jnp.sqrt(sigma)
+            nlp = 0.5 * jnp.sum(r_j * jnp.sum(
+                jnp.square(ys_j * sigma_inv_sqrt[:, None]), axis=0))
+            nlp += 0.5 * n * jnp.sum(lsig)
+            nlp += -0.5 * p * jnp.sum(jnp.log(r_j))
+            for k in range(args.q):
+                Ck = matern32_gram(xs_j, xs_j, lLmb[k][None], lLmb0[k][None],
+                                   lnug[k][None], same=True)[0]
+                v_k = sigma_inv_sqrt * phi[:, k]
+                b_k = r_j * (ys_j.T @ v_k)
+                d_k = diag_D[k]
+                A = jnp.eye(n) + d_k * (Ck * sr[None, :] * sr[:, None])
+                Cb = Ck @ b_k
+                z = jnp.linalg.solve(A, jnp.sqrt(d_k) * sr * Cb)
+                Sb = Cb - Ck @ (jnp.sqrt(d_k) * sr * z)
+                nlp += -0.5 * (b_k @ Sb)
+                nlp += 0.5 * jnp.linalg.slogdet(A)[1]
+            return nlp / n
+
+        vg = jax.jit(jax.value_and_grad(neglpost_rep_ref))
+        t0 = time.time()
+        v, g = vg(free)
+        jax.block_until_ready((v, g))
+        print(f'rep first eval (incl compile): {time.time() - t0:.1f}s '
+              f'loss={float(v):.4f}', flush=True)
+        times = []
+        for _ in range(args.evals):
+            t0 = time.time()
+            v, g = vg(free)
+            jax.block_until_ready((v, g))
+            times.append(time.time() - t0)
+            print(f'rep eval: {times[-1]:.1f}s', flush=True)
+        secs = float(np.median(times))
+        target_n = args.extrapolate_to or args.n
+        scale = (target_n / args.n) ** 3
+        rep_keys = {
+            'rep_measured_n': args.n,
+            'rep_rbar': args.rbar,
+            'rep_secs_per_nll_grad_eval_cpu_measured': secs,
+            'rep_secs_per_nll_grad_eval_cpu': secs * scale,
+            'rep_evals_per_sec_cpu': 1.0 / (secs * scale),
+        }
+        existing = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        existing.update(rep_keys)
+        with open(args.out, 'w') as f:
+            json.dump(existing, f, indent=2)
+        print('wrote rep keys to', args.out, json.dumps(rep_keys),
+              flush=True)
+        return
 
     def neglpost_eigh(free):
         """Reference-path loss: Python loop over q, eigh per component."""
