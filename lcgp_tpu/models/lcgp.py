@@ -428,6 +428,11 @@ class LCGP:
 
     def neglpost(self):
         if self._z is not None:
+            if self._n_mesh is not None:
+                from ..parallel import fitc_shard
+                return fitc_shard.neglpost_full_fitc_nsharded(
+                    self._free, self._data, self._z, self._n_mesh,
+                    compute_dtype=self._compute_dtype, kernel=self.kernel)
             from . import sparse
             return sparse.neglpost_full_fitc(
                 self._free, self._data, self._z,
@@ -445,6 +450,11 @@ class LCGP:
 
     def neglpost_rep(self):
         if self._z is not None:
+            if self._n_mesh is not None:
+                from ..parallel import fitc_shard
+                return fitc_shard.neglpost_rep_fitc_nsharded(
+                    self._free, self._data, self._z, self._n_mesh,
+                    compute_dtype=self._compute_dtype, kernel=self.kernel)
             from . import sparse
             return sparse.neglpost_rep_fitc(
                 self._free, self._data, self._z,
@@ -470,9 +480,9 @@ class LCGP:
             raise ValueError(
                 f"set_mesh needs an ('n',) mesh (parallel.nshard."
                 f"make_n_mesh); got axis names {tuple(mesh.axis_names)!r}")
-        if mesh is not None and self._z is not None:
-            raise ValueError('inducing-point (FITC) models are m-bounded; '
-                             'n-sharding does not apply')
+        # Inducing-point (FITC) models shard too: the (q, n, m) Woodbury
+        # panel is n-bounded in memory, and parallel/fitc_shard distributes
+        # its rows exactly (loss/aux identical up to float reordering).
         self._n_mesh = mesh
         self._aux = None
         self._aux_version = -1
@@ -524,6 +534,11 @@ class LCGP:
         if jitter is None:
             jitter = self._jitter
         if self._z is not None:
+            if self._n_mesh is not None:
+                from ..parallel import fitc_shard
+                return fitc_shard.make_loss(
+                    self.submethod, self._data, self._z, self._n_mesh,
+                    compute_dtype=compute_dtype, kernel=self.kernel)
             from . import sparse
             fitc = (sparse.neglpost_rep_fitc if self.submethod == 'rep'
                     else sparse.neglpost_full_fitc)
@@ -760,10 +775,17 @@ class LCGP:
         refinement speedup); 'fast' (f32) is supported.
         """
         self.set_mesh(mesh)
-        from ..parallel import nshard
-        loss_fn = nshard.make_loss(self.submethod, self._data, mesh,
-                                   compute_dtype=self._compute_dtype,
-                                   jitter=self._jitter, kernel=self.kernel)
+        if self._z is not None:
+            from ..parallel import fitc_shard
+            loss_fn = fitc_shard.make_loss(
+                self.submethod, self._data, self._z, mesh,
+                compute_dtype=self._compute_dtype, kernel=self.kernel)
+        else:
+            from ..parallel import nshard
+            loss_fn = nshard.make_loss(self.submethod, self._data, mesh,
+                                       compute_dtype=self._compute_dtype,
+                                       jitter=self._jitter,
+                                       kernel=self.kernel)
         if method == 'auto':
             if self.precision == 'fast':
                 method = 'lbfgs-jax'
@@ -797,9 +819,20 @@ class LCGP:
         if self._z is None:
             raise ValueError('refine_inducing requires an inducing-point '
                              'model (construct with inducing=...)')
-        from . import sparse
-        fitc = (sparse.neglpost_rep_fitc if self.submethod == 'rep'
-                else sparse.neglpost_full_fitc)
+        if self._n_mesh is not None:
+            from ..parallel import fitc_shard as _fs
+            mesh = self._n_mesh
+
+            def fitc(free, data, z, compute_dtype=None, kernel='matern32'):
+                fn = (_fs.neglpost_rep_fitc_nsharded
+                      if self.submethod == 'rep'
+                      else _fs.neglpost_full_fitc_nsharded)
+                return fn(free, data, z, mesh,
+                          compute_dtype=compute_dtype, kernel=kernel)
+        else:
+            from . import sparse
+            fitc = (sparse.neglpost_rep_fitc if self.submethod == 'rep'
+                    else sparse.neglpost_full_fitc)
 
         if joint:
             def loss(tree):
@@ -845,7 +878,13 @@ class LCGP:
         # model at the same parameters, regardless of conditioning.
         aux_dtype = None if self.precision == 'mixed' else self._compute_dtype
         if self._aux is None or self._aux_version != self._params_version:
-            if self._z is not None:
+            if self._z is not None and self._n_mesh is not None:
+                from ..parallel import fitc_shard
+                self._aux = fitc_shard.compute_aux_fitc_nsharded(
+                    self._free, self._data, self._z, self.submethod,
+                    self._n_mesh, compute_dtype=aux_dtype,
+                    kernel=self.kernel)
+            elif self._z is not None:
                 from . import sparse
                 self._aux = sparse.compute_aux_fitc(
                     self._free, self._data, self._z, self.submethod,
