@@ -85,6 +85,22 @@ def main():
           f'{time.time() - t0:.2f}s; predict vs single-device max diff '
           f'{np.max(np.abs(yp - yp_ref)):.2e}')
 
+    # FITC + n-sharding (round 4): the (q, n, m) inducing-point Woodbury
+    # panel distributes its rows over the same ('n',) mesh — exact same
+    # estimator, per-device memory / GEMM time divided by the mesh size.
+    model_f = LCGP(y=y, x=x, q=q, inducing=32)
+    t0 = time.time()
+    model_f.fit(mesh=nmesh, method='adam', steps=args.steps,
+                learning_rate=3e-2)
+    ypf = np.asarray(model_f.predict(x0)[0])
+    single_f = LCGP(y=y, x=x, q=q, inducing=32)
+    single_f._free, single_f._z = model_f._free, model_f._z
+    single_f._params_version += 1
+    ypf_ref = np.asarray(single_f.predict(x0)[0])
+    print(f'n-sharded FITC (m=32) fit+predict in {time.time() - t0:.2f}s; '
+          f'predict vs single-device max diff '
+          f'{np.max(np.abs(ypf - ypf_ref)):.2e}')
+
 
 if __name__ == '__main__':
     main()
