@@ -656,6 +656,13 @@ class LCGP:
             # mid-fit checkpointing, wired above) fire at block-boundary
             # host syncs, plateau_rtol stops early, and _fit_result records
             # fun/nit/stop_reason.
+            if self._z is not None:
+                raise ValueError(
+                    "inducing-point (FITC) models don't support the "
+                    "('comp','out') mesh (parallel.fit_sharded optimizes "
+                    "the exact loss); use an ('n',) mesh — "
+                    "fit(mesh=parallel.nshard.make_n_mesh()) shards the "
+                    "FITC Woodbury panel (parallel/fitc_shard).")
             kwargs.setdefault('plateau_rtol', 1e-8)
             kwargs.setdefault('verbose', verbose or self.verbose)
             from .. import parallel

@@ -138,6 +138,14 @@ class TestModelIntegration:
         for a, b in zip(p1, p2):
             assert _rel(a, b) < 1e-8
 
+    def test_comp_out_mesh_rejected_for_fitc(self):
+        from lcgp_tpu import parallel
+        x, y = _field(n=48, seed=8)
+        mod = LCGP(y=y, x=x, q=2, inducing=8)
+        co_mesh = parallel.make_mesh(n_comp=4, n_out=2)
+        with pytest.raises(ValueError, match="'n',"):
+            mod.fit(mesh=co_mesh, steps=2)
+
     def test_refine_inducing_on_mesh(self, mesh):
         x, y = _field(n=64, seed=7)
         m1 = LCGP(y=y, x=x, q=2, inducing=8)
