@@ -63,15 +63,75 @@ def _probe_backend(attempts=4, probe_timeout=300):
     return last
 
 
+# Progressively filled by _run(): if the watchdog fires (or a late section
+# throws) mid-run, the degraded line still carries every number already
+# measured instead of discarding a nearly-complete benchmark as 0.0.
+PARTIAL: dict = {}
+
+
+def _baseline() -> dict:
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'benchmarks', 'bench_baseline.json')
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            return json.load(f)
+    return {}
+
+
+def _assemble(p: dict) -> dict:
+    """Derive the JSON-line fields from whatever raw timings exist."""
+    base = _baseline()
+    base_evals = base.get('evals_per_sec_cpu')
+    out = {'metric': METRIC, 'value': 0.0, 'unit': 'evals/s',
+           'vs_baseline': 0.0, 'baseline_cpu_evals_per_sec': base_evals}
+
+    def put(key, val):
+        if val is not None:
+            out[key] = val
+
+    if p.get('secs64'):
+        ev = 1.0 / p['secs64']
+        out['value'] = round(ev, 4)
+        out['secs_per_eval_f64'] = round(p['secs64'], 4)
+        if base_evals:
+            out['vs_baseline'] = round(ev / base_evals, 2)
+    if p.get('secs32'):
+        ev32 = 1.0 / p['secs32']
+        out['evals_per_sec_f32'] = round(ev32, 4)
+        out['secs_per_eval_f32'] = round(p['secs32'], 4)
+        if base_evals:
+            out['vs_baseline_f32'] = round(ev32 / base_evals, 2)
+    if p.get('secs32_scan'):
+        out['secs_per_eval_f32_scan'] = round(p['secs32_scan'], 4)
+    if p.get('secs_mx'):
+        out['evals_per_sec_mixed'] = round(1.0 / p['secs_mx'], 4)
+        if base_evals:
+            out['vs_baseline_mixed'] = round(
+                (1.0 / p['secs_mx']) / base_evals, 2)
+    put('q_chunk_f64', p.get('chunk64'))
+    put('q_chunk_f32', p.get('chunk32'))
+    if p.get('secs_rep64'):
+        out['rep_secs_per_eval_f64'] = round(p['secs_rep64'], 4)
+        out['rep_evals_per_sec_f64'] = round(1.0 / p['secs_rep64'], 4)
+        if base.get('rep_evals_per_sec_cpu'):
+            out['rep_vs_baseline_f64'] = round(
+                (1.0 / p['secs_rep64']) / base['rep_evals_per_sec_cpu'], 2)
+    if p.get('secs_rep32'):
+        out['rep_secs_per_eval_f32'] = round(p['secs_rep32'], 4)
+    if p.get('secs_rep_mx'):
+        out['rep_secs_per_eval_mixed'] = round(p['secs_rep_mx'], 4)
+    put('rep_q_chunk_f64', p.get('chunk_rep64'))
+    put('rep_q_chunk_f32', p.get('chunk_rep32'))
+    put('device', p.get('device'))
+    return out
+
+
 def _degraded(error: str) -> None:
-    """On persistent failure still print ONE parseable JSON line."""
-    print(json.dumps({
-        'metric': METRIC,
-        'value': 0.0,
-        'unit': 'evals/s',
-        'vs_baseline': 0.0,
-        'error': error[:600],
-    }))
+    """On persistent failure still print ONE parseable JSON line —
+    carrying any sections that completed before the failure."""
+    out = _assemble(PARTIAL)
+    out['error'] = error[:600]
+    print(json.dumps(out))
 
 
 def make_problem():
@@ -210,6 +270,7 @@ def _run():
     from lcgp_tpu.models import likelihood as lik
 
     data, free = make_problem()
+    PARTIAL['device'] = str(jax.devices()[0])
 
     print(f'[bench] data dtype: {data.ys.dtype}', file=sys.stderr, flush=True)
 
@@ -217,6 +278,7 @@ def _run():
         lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
             lambda f_: lik.neglpost_full(f_, d, q_chunk=qc))(fr)),
         free, data, chunks=(5, 2))  # q_chunk=10 f64 exceeds HBM (measured)
+    PARTIAL.update(secs64=secs64, chunk64=chunk64)
 
     secs32, chunk32 = _time_with_fallback(
         lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
@@ -224,22 +286,20 @@ def _run():
                                          jitter=1e-6, q_chunk=qc))(fr)),
         free, data, chunks=(None, 10, 5))  # unchunked f32 fits since the
         # no-C-materialization rewrite (measured 172 ms vs 195 chunked)
+    PARTIAL.update(secs32=secs32, chunk32=chunk32)
 
     # mixed: f64 data/Gram/reductions, f32-seeded refined factorizations
     # (f64-grade results in the validated conditioning regime, RESULTS.md)
-    secs_mx, chunk_mx = _time_with_fallback(
+    secs_mx, _chunk_mx = _time_with_fallback(
         lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
             lambda f_: lik.neglpost_full(f_, d, compute_dtype='mixed',
                                          q_chunk=qc))(fr)),
         free, data, chunks=(5, 2))
-
-    evals64 = 1.0 / secs64
-    evals32 = 1.0 / secs32
-    evals_mx = 1.0 / secs_mx
+    PARTIAL['secs_mx'] = secs_mx
 
     # amortized (scan) f32 per-eval cost — what the on-device optimizer pays
     import jax.numpy as jnp_
-    secs32_scan = time_evals_scan(
+    PARTIAL['secs32_scan'] = time_evals_scan(
         lambda: (lambda fr, d=data: lik.neglpost_full(
             fr, d, compute_dtype=jnp_.float32, jitter=1e-6,
             q_chunk=chunk32)), free, data)
@@ -251,59 +311,23 @@ def _run():
         lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
             lambda f_: lik.neglpost_rep(f_, d, q_chunk=qc))(fr)),
         rep_free, rep_data, chunks=(5, 2))
+    PARTIAL.update(secs_rep64=secs_rep64, chunk_rep64=chunk_rep64)
     secs_rep32, chunk_rep32 = _time_with_fallback(
         lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
             lambda f_: lik.neglpost_rep(f_, d,
                                         compute_dtype=jax.numpy.float32,
                                         jitter=1e-6, q_chunk=qc))(fr)),
         rep_free, rep_data, chunks=(None, 10, 5))
+    PARTIAL.update(secs_rep32=secs_rep32, chunk_rep32=chunk_rep32)
     secs_rep_mx, _chunk_rep_mx = _time_with_fallback(
         lambda qc: jax.jit(lambda fr, d: jax.value_and_grad(
             lambda f_: lik.neglpost_rep(f_, d, compute_dtype='mixed',
                                         q_chunk=qc))(fr)),
         rep_free, rep_data, chunks=(5, 2))
+    PARTIAL['secs_rep_mx'] = secs_rep_mx
     del rep_data, rep_free
 
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             'benchmarks', 'bench_baseline.json')
-    vs64 = vs32 = None
-    base_evals = None
-    base = {}
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            base = json.load(f)
-        base_evals = base.get('evals_per_sec_cpu')
-        if base_evals:
-            vs64 = evals64 / base_evals
-            vs32 = evals32 / base_evals
-
-    dev = str(jax.devices()[0])
-    print(json.dumps({
-        'metric': METRIC,
-        'value': round(evals64, 4),
-        'unit': 'evals/s',
-        'vs_baseline': round(vs64, 2) if vs64 else None,
-        'secs_per_eval_f64': round(secs64, 4),
-        'evals_per_sec_f32': round(evals32, 4),
-        'secs_per_eval_f32': round(secs32, 4),
-        'secs_per_eval_f32_scan': round(secs32_scan, 4),
-        'vs_baseline_f32': round(vs32, 2) if vs32 else None,
-        'evals_per_sec_mixed': round(evals_mx, 4),
-        'vs_baseline_mixed': round(evals_mx / base_evals, 2) if base_evals else None,
-        'baseline_cpu_evals_per_sec': base_evals,
-        'q_chunk_f64': chunk64,
-        'q_chunk_f32': chunk32,
-        'rep_secs_per_eval_f64': round(secs_rep64, 4),
-        'rep_secs_per_eval_f32': round(secs_rep32, 4),
-        'rep_secs_per_eval_mixed': round(secs_rep_mx, 4),
-        'rep_evals_per_sec_f64': round(1.0 / secs_rep64, 4),
-        'rep_vs_baseline_f64': (
-            round((1.0 / secs_rep64) / base['rep_evals_per_sec_cpu'], 2)
-            if base.get('rep_evals_per_sec_cpu') else None),
-        'rep_q_chunk_f64': chunk_rep64,
-        'rep_q_chunk_f32': chunk_rep32,
-        'device': dev,
-    }))
+    print(json.dumps(_assemble(PARTIAL)))
 
 
 def main():

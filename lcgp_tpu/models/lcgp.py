@@ -191,6 +191,7 @@ class LCGP:
         # batched predicts pay zero per-batch host syncs (ADVICE r3).
         self._fitc_clamp_accum = None
         self._in_batched_predict = False
+        self._predict_pad_cols = 0
 
         self._data = self._build_data()
 
@@ -654,8 +655,10 @@ class LCGP:
             # ('comp','out') mesh: full optimizer parity with the
             # single-device paths (VERDICT r3 weak #4) — callbacks (incl.
             # mid-fit checkpointing, wired above) fire at block-boundary
-            # host syncs, plateau_rtol stops early, and _fit_result records
-            # fun/nit/stop_reason.
+            # host syncs, plateau_rtol= stops early (opt-in, patience-
+            # guarded: Adam's loss is non-monotone, so no default plateau —
+            # same semantics as the single-device Adam loop), and
+            # _fit_result records fun/nit/stop_reason.
             if self._z is not None:
                 raise ValueError(
                     "inducing-point (FITC) models don't support the "
@@ -663,7 +666,6 @@ class LCGP:
                     "the exact loss); use an ('n',) mesh — "
                     "fit(mesh=parallel.nshard.make_n_mesh()) shards the "
                     "FITC Woodbury panel (parallel/fitc_shard).")
-            kwargs.setdefault('plateau_rtol', 1e-8)
             kwargs.setdefault('verbose', verbose or self.verbose)
             from .. import parallel
             free, res = parallel.fit_sharded(self._data, self._free, mesh,
@@ -691,6 +693,7 @@ class LCGP:
                     kwargs.setdefault('maxiter', 2000)
                 if self.precision == 'high' and \
                         self.n >= self._AUTO_MIXED_N and \
+                        (verbose or self.verbose) and \
                         not getattr(self, '_mixed_hint_shown', False):
                     self._mixed_hint_shown = True
                     print(f"[lcgp_tpu.fit] hint: at n={self.n}, "
@@ -1049,11 +1052,15 @@ class LCGP:
                 pad = batch_size - blk.shape[0]
                 if pad:
                     blk = jnp.concatenate([blk, blk[-1:].repeat(pad, axis=0)])
+                # clamp stats must count the user's points, not the
+                # duplicated padding rows (health_check's frac gate)
+                self._predict_pad_cols = pad
                 out = predict_call(x0=blk, return_fullcov=False)
                 chunks.append([o[:, :batch_size - pad] if pad else o
                                for o in out])
         finally:
             self._in_batched_predict = False
+            self._predict_pad_cols = 0
         return tuple(jnp.concatenate([c[i] for c in chunks], axis=1)
                      for i in range(3))
 
@@ -1095,8 +1102,13 @@ class LCGP:
             ghat, gvar = sparse.predict_fitc_core(
                 self._free, self._data, aux, self._z, x0s,
                 compute_dtype=self._compute_dtype, kernel=self.kernel)
-            gvar, count, worst = sparse.clamp_variance(gvar)
-            self._record_clamp_stats(count, worst, gvar.size)
+            # stats over the user's columns only — batched predict pads the
+            # final chunk with duplicated rows that must not be counted
+            pad = getattr(self, '_predict_pad_cols', 0)
+            stats_src = gvar[:, :gvar.shape[-1] - pad] if pad else gvar
+            _, count, worst = sparse.clamp_variance(stats_src)
+            gvar = jnp.maximum(gvar, 0.0)
+            self._record_clamp_stats(count, worst, stats_src.size)
             return ghat, gvar
         if self._n_mesh is not None:
             from ..parallel import nshard

@@ -108,7 +108,7 @@ def make_sharded_value_and_grad(mesh: Mesh, data):
 def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
                 learning_rate: float = 5e-2, block_steps: int = 50,
                 verbose: bool = False, callback=None,
-                plateau_rtol: float = None):
+                plateau_rtol: float = None, plateau_patience: int = 3):
     """On-device Adam over the mesh.
     Returns (free_params, DeviceFitResult).
 
@@ -119,9 +119,13 @@ def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
     Optimizer parity with the single-device loops (VERDICT r3 weak #4):
     ``callback(step, loss, params)`` fires at every block-boundary host
     sync (the sync exists regardless, so checkpointing/telemetry is free),
-    and ``plateau_rtol`` stops early once the relative loss decrease over
-    a block falls below it.  The DeviceFitResult records
-    fun/nit/stop_reason, mirroring the single-device on-device loops.
+    and ``plateau_rtol`` (opt-in, like the single-device Adam loop — a
+    step count is a budget, not a convergence criterion) stops early once
+    the best loss so far has failed to improve by the relative tolerance
+    for ``plateau_patience`` consecutive blocks; Adam's loss is
+    non-monotone, so a single-block check would trip on transient
+    oscillation.  The DeviceFitResult records fun/nit/stop_reason,
+    mirroring the single-device on-device loops.
     """
     import optax
 
@@ -155,7 +159,8 @@ def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
     run_full = make_block(base)
     done = 0
     last = None
-    prev = np.inf
+    best = np.inf
+    stale = 0
     reason = 'steps'
     while done < steps:
         length = min(block_steps, steps - done)
@@ -168,11 +173,14 @@ def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
                   f'loss {last:.8g}')
         if callback is not None:
             callback(done, last, free)
-        if plateau_rtol is not None and np.isfinite(prev) and \
-                np.isfinite(last) and \
-                (prev - last) / max(1.0, abs(last)) < plateau_rtol:
-            reason = 'plateau'
-            break
-        prev = last
+        if plateau_rtol is not None and np.isfinite(last):
+            if (best - last) / max(1.0, abs(last)) < plateau_rtol:
+                stale += 1
+                if stale >= plateau_patience:
+                    reason = 'plateau'
+                    break
+            else:
+                stale = 0
+            best = min(best, last)
     return free, DeviceFitResult(params=free, fun=jnp.asarray(last),
                                  nit=jnp.asarray(done), stop_reason=reason)

@@ -7,12 +7,13 @@ mid-run exception — stdout's last line parses as JSON with the metric/
 value/unit/vs_baseline keys the driver records.
 """
 import json
+import os
 import signal
 import sys
 
 import pytest
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 bench = pytest.importorskip(
     'bench', reason='bench.py lives in the source tree, not the wheel')
 
@@ -21,6 +22,13 @@ def _last_json_line(captured: str):
     lines = [ln for ln in captured.strip().splitlines() if ln.strip()]
     assert lines, 'no output printed'
     return json.loads(lines[-1])
+
+
+@pytest.fixture(autouse=True)
+def _clear_partial():
+    bench.PARTIAL.clear()
+    yield
+    bench.PARTIAL.clear()
 
 
 @pytest.mark.quick
@@ -32,6 +40,21 @@ def test_degraded_line_is_parseable(capsys):
     assert obj['unit'] == 'evals/s'
     assert obj['vs_baseline'] == 0.0
     assert 'synthetic failure' in obj['error']
+
+
+@pytest.mark.quick
+def test_degraded_line_carries_partial_results(capsys):
+    """A watchdog/late failure must not discard sections that completed:
+    the degraded line reports the measured f64 number, not 0.0."""
+    bench.PARTIAL.update(secs64=2.0, chunk64=5, device='test')
+    bench._degraded('watchdog: hung in the rep section')
+    obj = _last_json_line(capsys.readouterr().out)
+    assert obj['value'] == 0.5
+    assert obj['secs_per_eval_f64'] == 2.0
+    assert obj['q_chunk_f64'] == 5
+    if obj.get('baseline_cpu_evals_per_sec'):
+        assert obj['vs_baseline'] > 0
+    assert 'watchdog' in obj['error']
 
 
 @pytest.mark.quick

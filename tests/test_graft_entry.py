@@ -1,11 +1,12 @@
 """The driver entry points must stay importable and runnable."""
+import os
 import sys
 
 import jax
 import numpy as np
 import pytest
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ge = pytest.importorskip(
     '__graft_entry__',
     reason='driver entry lives in the source tree, not the wheel')

@@ -370,7 +370,9 @@ class TestAutoPrecision:
         assert 'hint' not in capsys.readouterr().out
         m.fit(method='scipy', maxiter=2)       # auto only: still no hint
         assert 'hint' not in capsys.readouterr().out
-        m.fit(method='auto', maxiter=2)
+        m.fit(method='auto', maxiter=2)        # non-verbose: stdout stays
+        assert 'hint' not in capsys.readouterr().out   # machine-parseable
+        m.fit(method='auto', maxiter=2, verbose=True)
         assert "precision='mixed'" in capsys.readouterr().out
-        m.fit(method='auto', maxiter=2)        # one-time: not repeated
+        m.fit(method='auto', maxiter=2, verbose=True)  # one-time only
         assert 'hint' not in capsys.readouterr().out

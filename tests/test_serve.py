@@ -222,7 +222,9 @@ class TestInducingServing:
 
     def test_clamp_stats_accumulate_across_batches(self):
         """Batched predict accumulates clamp stats across batches instead of
-        overwriting per batch (ADVICE r3 low); total == q * n0."""
+        overwriting per batch (ADVICE r3 low), counting only the user's
+        points — the duplicated padding rows of the final chunk must not
+        inflate (or dilute) health_check's clamp fraction."""
         rng = np.random.default_rng(6)
         n, d, p = 100, 2, 3
         x = rng.uniform(0, 1, (n, d))
@@ -230,8 +232,13 @@ class TestInducingServing:
         m = LCGP(y=y, x=x, q=2, inducing=12)
         m.fit(method='adam', steps=10)
         x0 = rng.uniform(0, 1, (25, d))
-        m.predict(x0, batch_size=8)  # 4 batches (last padded)
+        m.predict(x0, batch_size=8)  # 4 batches (last padded 1->8)
         st = m._fitc_clamp_stats
         assert st is not None
-        assert st['total'] == 2 * 32  # q * (padded batches: 4 * 8)
+        assert st['total'] == 2 * 25  # q * n0, padding excluded
         assert st['n_clamped'] >= 0 and 0 <= st['frac'] <= 1
+        # unbatched predict over the same points must agree on the stats
+        m.predict(x0)
+        st2 = m._fitc_clamp_stats
+        assert st2['total'] == 2 * 25
+        assert st2['n_clamped'] == st['n_clamped']
