@@ -27,6 +27,35 @@ class DeviceFitResult(NamedTuple):
     stop_reason: str = 'cap'   # 'gtol' | 'plateau' | 'cap'
 
 
+class PlateauTracker:
+    """The one early-stop rule shared by every host-synced block loop
+    (here and parallel/mesh.fit_sharded): stop once the best loss so far
+    has failed to improve by ``rtol`` (relative) for ``patience``
+    consecutive syncs.  ``rtol=None`` disables.  L-BFGS's line-searched
+    loss is monotone, so patience=1 suffices there; non-monotone Adam
+    loops need patience>1 so transient oscillation cannot truncate a fit.
+    """
+
+    def __init__(self, rtol, patience: int = 1):
+        self.rtol = rtol
+        self.patience = patience
+        self.best = np.inf
+        self.stale = 0
+
+    def update(self, v: float) -> bool:
+        """Feed one synced loss value; True means stop on plateau."""
+        if self.rtol is None or not np.isfinite(v):
+            return False
+        if (self.best - v) / max(1.0, abs(v)) < self.rtol:
+            self.stale += 1
+            if self.stale >= self.patience:
+                return True
+        else:
+            self.stale = 0
+        self.best = min(self.best, v)
+        return False
+
+
 def minimize_adam(loss_fn: Callable, params0, *, steps: int = 500,
                   learning_rate: float = 5e-2, block_steps: int = 50,
                   verbose: bool = False,
@@ -123,7 +152,7 @@ def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
     state = jax.jit(opt.init)(params0)
     it = jnp.asarray(0)
     value = jnp.asarray(jnp.inf)
-    prev_value = np.inf
+    plateau = PlateauTracker(plateau_rtol)
     reason = 'cap'
     while True:
         params, state, it_new, value = run_block(params, state, it)
@@ -138,9 +167,7 @@ def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
             reason = 'gtol'      # while_loop exited on gnorm, not budget
             it = it_new
             break
-        if plateau_rtol is not None and np.isfinite(prev_value) and \
-                np.isfinite(v) and \
-                (prev_value - v) / max(1.0, abs(v)) < plateau_rtol:
+        if plateau.update(v):
             reason = 'plateau'
             it = it_new
             break
@@ -148,7 +175,6 @@ def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
             reason = 'cap'
             it = it_new
             break
-        prev_value = v
         it = it_new
     return DeviceFitResult(params=params, fun=value, nit=it,
                            stop_reason=reason)

@@ -129,7 +129,7 @@ def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
     """
     import optax
 
-    from ..fit.optax_fit import DeviceFitResult
+    from ..fit.optax_fit import DeviceFitResult, PlateauTracker
 
     loss = _loss_for(data)
     opt = optax.adam(learning_rate)
@@ -159,8 +159,7 @@ def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
     run_full = make_block(base)
     done = 0
     last = None
-    best = np.inf
-    stale = 0
+    plateau = PlateauTracker(plateau_rtol, patience=plateau_patience)
     reason = 'steps'
     while done < steps:
         length = min(block_steps, steps - done)
@@ -173,14 +172,8 @@ def fit_sharded(data, free0: FreeParams, mesh: Mesh, *, steps: int = 200,
                   f'loss {last:.8g}')
         if callback is not None:
             callback(done, last, free)
-        if plateau_rtol is not None and np.isfinite(last):
-            if (best - last) / max(1.0, abs(last)) < plateau_rtol:
-                stale += 1
-                if stale >= plateau_patience:
-                    reason = 'plateau'
-                    break
-            else:
-                stale = 0
-            best = min(best, last)
+        if plateau.update(last):
+            reason = 'plateau'
+            break
     return free, DeviceFitResult(params=free, fun=jnp.asarray(last),
                                  nit=jnp.asarray(done), stop_reason=reason)

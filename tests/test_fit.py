@@ -194,3 +194,35 @@ class TestLazyXnorm:
         np.testing.assert_allclose(xn, orig(x))
         _ = m.xnorm
         assert len(calls) == 1                # cached
+
+
+class TestPlateauTracker:
+    """The one early-stop rule shared by the lbfgs-jax loop and
+    parallel.fit_sharded (fit/optax_fit.PlateauTracker)."""
+
+    def test_monotone_trips_at_patience_one(self):
+        from lcgp_tpu.fit.optax_fit import PlateauTracker
+        t = PlateauTracker(1e-3, patience=1)
+        assert not t.update(100.0)       # first value: infinite improvement
+        assert not t.update(50.0)        # big improvement
+        assert t.update(49.9999)         # below rtol -> plateau
+
+    def test_oscillation_needs_patience(self):
+        from lcgp_tpu.fit.optax_fit import PlateauTracker
+        t = PlateauTracker(1e-3, patience=3)
+        assert not t.update(100.0)
+        assert not t.update(50.0)
+        assert not t.update(51.0)        # worse than best: stale 1
+        assert not t.update(50.5)        # stale 2
+        assert not t.update(45.0)        # real improvement resets
+        assert not t.update(45.2)
+        assert not t.update(45.1)
+        assert t.update(45.05)           # third consecutive stale block
+
+    def test_disabled_and_nonfinite(self):
+        from lcgp_tpu.fit.optax_fit import PlateauTracker
+        t = PlateauTracker(None)
+        assert not any(t.update(v) for v in [1.0, 1.0, 1.0, 1.0])
+        t2 = PlateauTracker(1e-3)
+        assert not t2.update(float('nan'))
+        assert not t2.update(float('inf'))
