@@ -33,6 +33,11 @@ def main():
     ap.add_argument('--precision', default='mixed',
                     choices=['high', 'mixed', 'fast'])
     ap.add_argument('--maxiter', type=int, default=30)
+    ap.add_argument('--analyze-only', action='store_true',
+                    help='stop after compiling the loss+grad executable and '
+                         'printing its XLA memory analysis — brackets the '
+                         'OOM point above the demonstrated cap without '
+                         'paying a fit')
     args = ap.parse_args()
 
     if args.cpu:
@@ -62,6 +67,16 @@ def main():
     arg_bytes = int(getattr(ma, 'argument_size_in_bytes', 0))
     print(f'[ceiling] loss+grad compiled: temp={temp_bytes / 1e9:.2f} GB '
           f'args={arg_bytes / 1e9:.2f} GB', flush=True)
+
+    if args.analyze_only:
+        print(json.dumps(dict(
+            n=n, p=p, q=args.q, precision=args.precision,
+            q_chunk=m.q_chunk, analyze_only=True,
+            lossgrad_temp_gb=round(temp_bytes / 1e9, 3),
+            lossgrad_arg_gb=round(arg_bytes / 1e9, 3),
+            device=str(jax.devices()[0]),
+        )), flush=True)
+        return
 
     # one timed eval
     v, g = compiled(m._free)
