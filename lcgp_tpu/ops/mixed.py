@@ -10,7 +10,8 @@ Newton-type correction whose only heavy ops are f64 GEMMs.
 Cholesky refinement (one step):
     L0 = chol_f32(B)
     R  = B - L0 L0^T                       (f64 GEMM — the exact residual)
-    X  = L0^{-1} R L0^{-T}                 (f32 triangular solves: X is
+    X  = L0^{-1} R L0^{-T}                 (f32 GEMMs against the blocked
+                                            triangular inverse: X is
                                             O(eps32) so f32 relative error
                                             on it is second-order)
     L  = L0 + L0 Phi(X),  Phi = tril - diag/2
@@ -26,7 +27,6 @@ seeded with the f32 potri inverse; error squares per step.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 
 from . import linalg
 
@@ -79,13 +79,17 @@ def cholesky_mixed(B, refine_steps: int = 2, seed_jitter: float = 0.0):
     for _ in range(refine_steps):
         R = B - L @ jnp.swapaxes(L, -1, -2)            # f64 GEMM
         L32 = L.astype(jnp.float32)
-        R32 = R.astype(jnp.float32)
-        half = lax.linalg.triangular_solve(
-            L32, R32, left_side=True, lower=True)      # L^{-1} R
-        X = lax.linalg.triangular_solve(
-            L32, jnp.swapaxes(half, -1, -2), left_side=True,
-            lower=True)                                # L^{-1} R^T L^{-T} ^T
-        X = jnp.swapaxes(X, -1, -2)
+        # X = L^{-1} R L^{-T} via the GEMM-blocked triangular inverse, NOT
+        # two n-RHS triangular solves: XLA's TriangularSolveExpander
+        # unrolls an n/128-step blocked substitution whose partial-update
+        # buffers stay live simultaneously — measured 33.25 GB HBM (vs
+        # 15.75 GB capacity) for the mixed loss+grad at n=12288, q=2,
+        # q_chunk=1, where ~90 shrinking f32[~n, n] DUS temps dominated
+        # the allocation dump.  M is one f32 n^2 buffer and the two
+        # correction GEMMs ride the MXU; f32 rounding on X is
+        # second-order in the refinement either way.
+        M = linalg.tri_inverse_lower(L32)
+        X = (M @ R.astype(jnp.float32)) @ jnp.swapaxes(M, -1, -2)
         corr = (L32 @ _phi_lower(X)).astype(B.dtype)   # f32 GEMM
         L = L + corr
     return L
