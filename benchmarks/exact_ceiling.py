@@ -61,7 +61,27 @@ def main():
     # compiled-memory footprint of one loss+grad eval (the fit's unit)
     loss = m._loss_fn()
     lowered = jax.jit(jax.value_and_grad(loss)).lower(m._free)
-    compiled = lowered.compile()
+    try:
+        compiled = lowered.compile()
+    except Exception as e:  # noqa: BLE001 — compile-time HBM exhaustion
+        msg = str(e)
+        if 'RESOURCE_EXHAUSTED' not in msg and 'emory' not in msg:
+            raise
+        # the allocator error text carries the would-be footprint, e.g.
+        # "HLO temp 20.89G (99.9% utilization: Unpadded (12.42G) ...
+        #  40.5% fragmentation (8.46G))" — surface it as the OOM bracket
+        import re
+        mt = re.search(r'HLO temp\s+([\d.]+)G.*?Unpadded \(([\d.]+)G\)'
+                       r'.*?([\d.]+)% fragmentation', msg, re.S)
+        print(json.dumps(dict(
+            n=n, p=p, q=args.q, precision=args.precision,
+            q_chunk=m.q_chunk, oom=True,
+            lossgrad_temp_gb=float(mt.group(1)) if mt else None,
+            lossgrad_temp_unpadded_gb=float(mt.group(2)) if mt else None,
+            fragmentation_pct=float(mt.group(3)) if mt else None,
+            device=str(jax.devices()[0]),
+        )), flush=True)
+        return
     ma = compiled.memory_analysis()
     temp_bytes = int(getattr(ma, 'temp_size_in_bytes', 0))
     arg_bytes = int(getattr(ma, 'argument_size_in_bytes', 0))
