@@ -170,7 +170,15 @@ def _full_terms_fwd_impl(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
     # n-length reductions accumulate in f64 (loss resolution at large n)
     quad = jnp.sum((a.astype(LB.dtype) * Cw).astype(jnp.float64), axis=-1)
     terms = 0.5 * linalg.chol_logdet(LB) - 0.5 * quad
-    return terms, (xs, lLmb, lLmb0, lnug, D, a, LB, w)
+    # mixed: the backward's inverse is seeded from the f32 cast of the
+    # factor alone (_factor_inverse, newton_steps=0), so storing the (n,n)
+    # residual in f32 is value-identical and halves the cross-chunk
+    # residual footprint — the binding term at the single-chip exact
+    # ceiling (q_chunk=1 holds every other chunk's factor live through
+    # each forward).
+    LB_res = LB.astype(jnp.float32) if mixed_ops.is_mixed(compute_dtype) \
+        else LB
+    return terms, (xs, lLmb, lLmb0, lnug, D, a, LB_res, w)
 
 
 def _full_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
@@ -181,7 +189,8 @@ def _full_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
 
 def _full_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
     xs, lLmb, lLmb0, lnug, D, a, LB, w = res
-    dt = LB.dtype
+    dt = w.dtype  # model dtype for the O(q n) vector math (LB may be the
+    # f32-stored mixed residual; w always carries the model dtype)
     # mixed: the gradient-side (q,n,n) work (inverse cotangent assembly +
     # kernel VJP elementwise passes) runs in f32 — see _factor_inverse
     vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else dt
@@ -237,7 +246,10 @@ def _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
                + linalg.chol_logdet(LT))
     terms = (-0.5 * jnp.sum((b.astype(dt) * Cu).astype(jnp.float64), axis=-1)
              + 0.5 * logdetA)
-    return terms, (xs, sr, lLmb, lLmb0, lnug, D, b, LT, u, Cu)
+    # f32 residual factor for mixed — see _full_terms_fwd_impl
+    LT_res = LT.astype(jnp.float32) if mixed_ops.is_mixed(compute_dtype) \
+        else LT
+    return terms, (xs, sr, lLmb, lLmb0, lnug, D, b, LT_res, u, Cu)
 
 
 def _rep_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
@@ -248,7 +260,7 @@ def _rep_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
 
 def _rep_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
     xs, sr, lLmb, lLmb0, lnug, D, b, LT, u, Cu = res
-    dt = LT.dtype
+    dt = u.dtype  # model dtype (LT may be the f32-stored mixed residual)
     vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else dt
     Tinv = _factor_inverse(LT, compute_dtype).astype(vdt)  # (C + Lam)^{-1}
     tb = tbar.astype(vdt)
