@@ -104,6 +104,78 @@ def tri_inverse_lower(chols):
     return X
 
 
+_TRI_SYRK_BLOCK = 512
+
+
+def _sym_from_block_lower(S, nd, nb):
+    """Full symmetric matrix from its block-lower representation S.
+
+    S holds the block-lower triangle (diagonal blocks included, themselves
+    symmetric); everything block-above is zero.  A = S + S^T counts the
+    diagonal blocks twice, so one copy is subtracted back per block — nd
+    (nb, nb) dynamic-update-slices, trivial next to the strip GEMMs.
+    """
+    A = S + jnp.swapaxes(S, -1, -2)
+    for j in range(nd):
+        cj = slice(j * nb, (j + 1) * nb)
+        A = A.at[..., cj, cj].add(-S[..., cj, cj])
+    return A
+
+
+def syrk_tri_lower(L, precision=None):
+    """L @ L^T for LOWER-TRIANGULAR L via column-strip GEMMs.
+
+    A dense matmul spends 2n^3 flops; L's triangularity cuts the true cost
+    to n^3/3 — 6x fewer.  XLA never exploits operand structure, so the
+    blocking is done here: block-column j of the result's lower triangle is
+    one GEMM ``L[jb:, :w] @ L[jb:jb+nb, :w]^T`` with contraction width
+    w = (j+1)*nb (columns of L beyond w are zero in both operands), and the
+    symmetric full matrix is assembled from the strips.  On TPU this is the
+    difference between the emulated-f64 GEMM tax being paid 6x or 1x —
+    the mixed-precision refinement residual (ops/mixed.cholesky_mixed) is
+    exactly this product.  Falls back to the dense matmul when n is not
+    block-divisible (small-n parity configs).
+    """
+    n = L.shape[-1]
+    nb = _TRI_SYRK_BLOCK
+    if n % nb or n // nb < 2:
+        return jnp.matmul(L, jnp.swapaxes(L, -1, -2), precision=precision)
+    nd = n // nb
+    S = jnp.zeros_like(L)
+    for j in range(nd):
+        w = (j + 1) * nb
+        strip = jnp.matmul(
+            L[..., j * nb:, :w],
+            jnp.swapaxes(L[..., j * nb:(j + 1) * nb, :w], -1, -2),
+            precision=precision)
+        S = S.at[..., j * nb:, j * nb:(j + 1) * nb].set(strip)
+    return _sym_from_block_lower(S, nd, nb)
+
+
+def gram_tri_lower(M, precision=None):
+    """M^T @ M for LOWER-TRIANGULAR M via row-strip GEMMs (n^3/3 flops).
+
+    Same structure argument as ``syrk_tri_lower``: block (i, j) of the
+    Gram (j <= i) only contracts over rows >= i*nb, so block-row i of the
+    lower triangle is one GEMM ``M[ib:, ib:ib+nb]^T @ M[ib:, :w]``.  This
+    is the potri combination step — (L^{-1})^T L^{-1} — the dominant GEMM
+    of every loss backward (f64, f32, and the mixed f32 potri seed).
+    """
+    n = M.shape[-1]
+    nb = _TRI_SYRK_BLOCK
+    if n % nb or n // nb < 2:
+        return jnp.matmul(jnp.swapaxes(M, -1, -2), M, precision=precision)
+    nd = n // nb
+    S = jnp.zeros_like(M)
+    for i in range(nd):
+        w = (i + 1) * nb
+        strip = jnp.matmul(
+            jnp.swapaxes(M[..., i * nb:, i * nb:(i + 1) * nb], -1, -2),
+            M[..., i * nb:, :w], precision=precision)
+        S = S.at[..., i * nb:(i + 1) * nb, :w].set(strip)
+    return _sym_from_block_lower(S, nd, nb)
+
+
 def chol_inverse(chols):
     """(L L^T)^{-1} as Linv^T Linv with Linv = L^{-1} (LAPACK potri shape).
 
@@ -113,10 +185,11 @@ def chol_inverse(chols):
     the GEMM runs at ~1.4 TFLOP/s but triangular solves crawl.  In f32
     this was the whole backward's bottleneck at true-f32 GEMM precision
     (120 of 190 ms/eval net); the bf16_3x combination GEMMs halve it.
+    The combination itself exploits Linv's triangularity
+    (``gram_tri_lower``: n^3/3 flops instead of the dense 2n^3).
     """
     linv = tri_inverse_lower(chols)
-    return jnp.einsum('...kn,...km->...nm', linv, linv,
-                      precision=_INV_GEMM_PRECISION)
+    return gram_tri_lower(linv, precision=_INV_GEMM_PRECISION)
 
 
 def quad_chol(chols, vecs):

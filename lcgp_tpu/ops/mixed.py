@@ -77,7 +77,11 @@ def cholesky_mixed(B, refine_steps: int = 2, seed_jitter: float = 0.0):
             jnp.eye(n, dtype=jnp.float32)
     L = jnp.linalg.cholesky(B32).astype(B.dtype)
     for _ in range(refine_steps):
-        R = B - L @ jnp.swapaxes(L, -1, -2)            # f64 GEMM
+        # exact residual: the one f64 product per step.  L is lower
+        # triangular, so the structured syrk costs n^3/3 flops instead of
+        # the dense 2n^3 XLA would emit — the emulated-f64 GEMM is the
+        # whole step's cost, making this the mixed path's hottest op.
+        R = B - linalg.syrk_tri_lower(L)               # f64 strip GEMMs
         L32 = L.astype(jnp.float32)
         # X = L^{-1} R L^{-T} via the GEMM-blocked triangular inverse, NOT
         # two n-RHS triangular solves: XLA's TriangularSolveExpander

@@ -242,6 +242,59 @@ class TestBlockedTriInverse:
                                        rtol=1e-8, atol=1e-10)
 
 
+class TestStructuredTriProducts:
+    """syrk_tri_lower / gram_tri_lower: the triangular-blocked strip GEMMs
+    (n^3/3 flops) must match the dense products exactly up to accumulation
+    order, on the blocked path, the fallback path, and in f32."""
+
+    def test_syrk_matches_dense(self):
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg
+        rng = np.random.default_rng(2)
+        for shape, n in (((3,), 1024), ((), 1536), ((2,), 700)):
+            L = jnp.asarray(np.tril(rng.standard_normal(shape + (n, n)))
+                            + 2.0 * np.eye(n))
+            ref = np.asarray(L @ jnp.swapaxes(L, -1, -2))
+            got = np.asarray(linalg.syrk_tri_lower(L))
+            np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-12)
+
+    def test_gram_matches_dense(self):
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg
+        rng = np.random.default_rng(3)
+        for shape, n in (((3,), 1024), ((), 1536), ((2,), 700)):
+            M = jnp.asarray(np.tril(rng.standard_normal(shape + (n, n)))
+                            + np.eye(n))
+            ref = np.asarray(jnp.swapaxes(M, -1, -2) @ M)
+            got = np.asarray(linalg.gram_tri_lower(M))
+            np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-12)
+
+    def test_f32_blocked(self):
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg
+        rng = np.random.default_rng(4)
+        n = 1024
+        L = jnp.asarray(np.tril(rng.standard_normal((n, n)))
+                        + 30.0 * np.eye(n), dtype=jnp.float32)
+        ref = np.asarray(L @ L.T)
+        got = np.asarray(linalg.syrk_tri_lower(L))
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-5)
+
+    def test_mixed_refinement_uses_structured_residual(self):
+        """cholesky_mixed at a blocked size still reaches the f64 floor —
+        the structured residual is exact, not approximate."""
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg, mixed as mixed_ops
+        rng = np.random.default_rng(5)
+        n = 1024
+        A = rng.standard_normal((n, 48))
+        B = jnp.asarray(A @ A.T + 50.0 * np.eye(n))
+        L = mixed_ops.cholesky_mixed(B, refine_steps=2)
+        ld_ref = float(linalg.chol_logdet(jnp.linalg.cholesky(B)))
+        ld_mx = float(linalg.chol_logdet(L))
+        np.testing.assert_allclose(ld_mx, ld_ref, rtol=1e-10)
+
+
 class TestMixedPrecision:
     """precision='mixed': f32 factor + f64-GEMM refinement must reproduce
     the f64 path to ~1e-8 (VERDICT target: oracle rtol 1e-6)."""
