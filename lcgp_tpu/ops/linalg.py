@@ -176,6 +176,76 @@ def gram_tri_lower(M, precision=None):
     return _sym_from_block_lower(S, nd, nb)
 
 
+def trmm_lower(L, X, precision=None):
+    """L @ X with LOWER-TRIANGULAR L and dense X: n^3 flops vs dense 2n^3.
+
+    Block-row i of the product only contracts over columns < (i+1)*nb of L
+    (zero beyond), so it is one GEMM ``L[ib:ib+nb, :w] @ X[:w, :]``.
+    """
+    n = L.shape[-1]
+    nb = _TRI_SYRK_BLOCK
+    if n % nb or n // nb < 2:
+        return jnp.matmul(L, X, precision=precision)
+    nd = n // nb
+    rows = []
+    for i in range(nd):
+        w = (i + 1) * nb
+        rows.append(jnp.matmul(L[..., i * nb:(i + 1) * nb, :w],
+                               X[..., :w, :], precision=precision))
+    return jnp.concatenate(rows, axis=-2)
+
+
+def mul_t_block_lower(Y, M, precision=None):
+    """Block-lower triangle of Y @ M^T with LOWER-TRIANGULAR M (n^3/3).
+
+    Block (i, j), j <= i, contracts only over columns < (j+1)*nb (rows of
+    M^T beyond are zero), so block-column j of the result's lower triangle
+    is one GEMM ``Y[jb:, :w] @ M[jb:jb+nb, :w]^T``.  The strict block-upper
+    region of the returned matrix is LEFT ZERO — callers that only consume
+    ``tril`` of the product (the Cholesky-refinement projector) never read
+    it.
+    """
+    n = M.shape[-1]
+    nb = _TRI_SYRK_BLOCK
+    if n % nb or n // nb < 2:
+        return jnp.matmul(Y, jnp.swapaxes(M, -1, -2), precision=precision)
+    nd = n // nb
+    S = jnp.zeros_like(Y)
+    for j in range(nd):
+        w = (j + 1) * nb
+        strip = jnp.matmul(
+            Y[..., j * nb:, :w],
+            jnp.swapaxes(M[..., j * nb:(j + 1) * nb, :w], -1, -2),
+            precision=precision)
+        S = S.at[..., j * nb:, j * nb:(j + 1) * nb].set(strip)
+    return S
+
+
+def mul_lower_lower(A, B, precision=None):
+    """A @ B with BOTH operands lower triangular — the product is lower
+    triangular.  Block-row i only contracts over k < (i+1)*nb and only
+    its first (i+1)*nb columns are nonzero, so it is one GEMM
+    ``A[ib:ib+nb, :w] @ B[:w, :w]`` plus zero-padding: 2n^3/3 flops
+    (3x under the dense 2n^3; the per-block-pair n^3/3 form would need
+    N^2/2 dispatches for one more 2x — not worth the launch overhead).
+    """
+    n = A.shape[-1]
+    nb = _TRI_SYRK_BLOCK
+    if n % nb or n // nb < 2:
+        return jnp.matmul(A, B, precision=precision)
+    nd = n // nb
+    rows = []
+    for i in range(nd):
+        w = (i + 1) * nb
+        # columns >= w of the result's row-block are zero (both lower
+        # triangular); compute only the [:w] slab and pad.
+        blk = jnp.matmul(A[..., i * nb:(i + 1) * nb, :w],
+                         B[..., :w, :w], precision=precision)
+        pad = jnp.zeros(blk.shape[:-1] + (n - w,), dtype=blk.dtype)
+        rows.append(jnp.concatenate([blk, pad], axis=-1))
+    return jnp.concatenate(rows, axis=-2)
+
+
 def chol_inverse(chols):
     """(L L^T)^{-1} as Linv^T Linv with Linv = L^{-1} (LAPACK potri shape).
 

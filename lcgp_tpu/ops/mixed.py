@@ -89,12 +89,17 @@ def cholesky_mixed(B, refine_steps: int = 2, seed_jitter: float = 0.0):
         # buffers stay live simultaneously — measured 33.25 GB HBM (vs
         # 15.75 GB capacity) for the mixed loss+grad at n=12288, q=2,
         # q_chunk=1, where ~90 shrinking f32[~n, n] DUS temps dominated
-        # the allocation dump.  M is one f32 n^2 buffer and the two
-        # correction GEMMs ride the MXU; f32 rounding on X is
-        # second-order in the refinement either way.
+        # the allocation dump.  M is one f32 n^2 buffer, the correction
+        # GEMMs ride the MXU, and every one of them exploits triangular
+        # structure (f32 rounding on X is second-order in the refinement
+        # either way):  M @ R is a trmm (n^3 vs 2n^3); only tril(X) is
+        # ever read (the projector), so the right product fills just the
+        # block-lower triangle (n^3/3); L @ Phi(X) is lower x lower
+        # (2n^3/3).  Net: ~2n^3 f32 flops per step instead of 6n^3.
         M = linalg.tri_inverse_lower(L32)
-        X = (M @ R.astype(jnp.float32)) @ jnp.swapaxes(M, -1, -2)
-        corr = (L32 @ _phi_lower(X)).astype(B.dtype)   # f32 GEMM
+        Y = linalg.trmm_lower(M, R.astype(jnp.float32))
+        X = linalg.mul_t_block_lower(Y, M)
+        corr = linalg.mul_lower_lower(L32, _phi_lower(X)).astype(B.dtype)
         L = L + corr
     return L
 

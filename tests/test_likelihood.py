@@ -280,6 +280,31 @@ class TestStructuredTriProducts:
         got = np.asarray(linalg.syrk_tri_lower(L))
         np.testing.assert_allclose(got, ref, rtol=2e-6, atol=2e-5)
 
+    def test_trmm_and_lower_products(self):
+        """trmm_lower / mul_t_block_lower / mul_lower_lower (the mixed
+        correction's structured f32 GEMMs) match the dense products on
+        blocked and fallback sizes; mul_t_block_lower only guarantees the
+        lower triangle (that is all the projector reads)."""
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg
+        rng = np.random.default_rng(6)
+        for n in (1024, 700):
+            L = jnp.asarray(np.tril(rng.standard_normal((2, n, n)))
+                            + 2.0 * np.eye(n))
+            X = jnp.asarray(rng.standard_normal((2, n, n)))
+            np.testing.assert_allclose(
+                np.asarray(linalg.trmm_lower(L, X)), np.asarray(L @ X),
+                rtol=1e-12, atol=1e-11)
+            got = linalg.mul_t_block_lower(X, L)
+            full = X @ jnp.swapaxes(L, -1, -2)
+            np.testing.assert_allclose(
+                np.asarray(jnp.tril(got)), np.asarray(jnp.tril(full)),
+                rtol=1e-12, atol=1e-11)
+            P = jnp.asarray(np.tril(rng.standard_normal((2, n, n))))
+            np.testing.assert_allclose(
+                np.asarray(linalg.mul_lower_lower(L, P)), np.asarray(L @ P),
+                rtol=1e-12, atol=1e-11)
+
     def test_mixed_refinement_uses_structured_residual(self):
         """cholesky_mixed at a blocked size still reaches the f64 floor —
         the structured residual is exact, not approximate."""
