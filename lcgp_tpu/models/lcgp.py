@@ -66,7 +66,7 @@ class LCGP:
         self.rep_standardize_ybar = rep_standardize_ybar
         self.parameter_clamp_flag = parameter_clamp_flag
         # precision='auto' resolves to 'mixed' at n >= _AUTO_MIXED_N (f64-
-        # grade fitted loss at ~0.62x the f64 cost in the validated
+        # grade fitted loss at ~0.47x the f64 cost in the validated
         # conditioning regime — RESULTS.md mixed-precision validation) and
         # 'high' below; resolution happens once n is known (rep grouping
         # can shrink it).
@@ -558,7 +558,7 @@ class LCGP:
     _AUTO_ONDEVICE_N = 512
     # precision='auto' switches to 'mixed' at this n: the mixed path's
     # f64-grade-loss criterion is validated at the headline configs
-    # (benchmarks/validate_mixed.py, RESULTS.md) and costs ~0.62x of f64
+    # (benchmarks/validate_mixed.py, RESULTS.md) and costs ~0.47x of f64
     _AUTO_MIXED_N = 2048
 
     # Conservative single-chip HBM budget for the training working set
@@ -698,7 +698,7 @@ class LCGP:
                     self._mixed_hint_shown = True
                     print(f"[lcgp_tpu.fit] hint: at n={self.n}, "
                           "precision='mixed' (or 'auto') reaches f64-grade "
-                          "fitted loss at ~0.62x the f64 cost "
+                          "fitted loss at ~0.47x the f64 cost "
                           "(validated: benchmarks/validate_mixed.py)")
             else:
                 method = 'scipy'
