@@ -5,10 +5,12 @@ combination (Linv^T @ Linv) are the dominant GEMMs of the mixed forward
 and of every loss backward.  ``syrk_tri_lower`` / ``gram_tri_lower``
 (ops/linalg.py) compute them with strip GEMMs at the true n^3/3 flop cost
 instead of the dense 2n^3 XLA emits.  This script times both forms at the
-headline shape (q=20, n=4096) in f64 and f32(bf16_3x), printing one JSON
-line per case.
+shape the executables actually see — one loss chunk of the headline
+config (q=q_chunk=5, n=4096; the q=20 stack is processed as four such
+chunks) — in f64 and f32(bf16_3x), printing one JSON line per case.
+The published RESULTS.md table was produced with these defaults.
 
-Usage: python -u benchmarks/tri_product_bench.py [--cpu] [--n 4096] [--q 20]
+Usage: python -u benchmarks/tri_product_bench.py [--cpu] [--n 4096] [--q 5]
 """
 from __future__ import annotations
 
@@ -23,7 +25,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--n', type=int, default=4096)
-    ap.add_argument('--q', type=int, default=20)
+    ap.add_argument('--q', type=int, default=5)
     ap.add_argument('--reps', type=int, default=3)
     args = ap.parse_args()
 

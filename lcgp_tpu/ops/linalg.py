@@ -107,6 +107,26 @@ def tri_inverse_lower(chols):
 _TRI_SYRK_BLOCK = 512
 
 
+def _pad_nn(A, np_):
+    """Zero-pad the trailing (n, n) dims to (np_, np_).
+
+    Every structured product below is zero-padding-equivariant: padding a
+    lower-triangular operand with zero rows/columns leaves the top-left
+    n x n block of the product equal to the unpadded product (the padded
+    rows/columns contribute only zeros to every contraction).  This is how
+    non-block-divisible n gets the structured flop saving: pad to the next
+    multiple of the block, run the blocked path, slice back — an O(n^2)
+    copy against the O(n^3) GEMMs it unlocks.
+    """
+    n = A.shape[-1]
+    return jnp.pad(A, [(0, 0)] * (A.ndim - 2)
+                   + [(0, np_ - A.shape[-2]), (0, np_ - n)])
+
+
+def _next_mult(n, nb):
+    return -(-n // nb) * nb
+
+
 def _sym_from_block_lower(S, nd, nb):
     """Full symmetric matrix from its block-lower representation S.
 
@@ -133,23 +153,22 @@ def syrk_tri_lower(L, precision=None):
     symmetric full matrix is assembled from the strips.  On TPU this is the
     difference between the emulated-f64 GEMM tax being paid 6x or 1x —
     the mixed-precision refinement residual (ops/mixed.cholesky_mixed) is
-    exactly this product.  Falls back to the dense matmul when n is not
-    block-divisible (small-n parity configs).
+    exactly this product.  Non-block-divisible n is zero-padded to the
+    next block multiple (see ``_pad_nn``); only n < 2 blocks falls back to
+    the dense matmul (small-n parity configs, where the strips would
+    degenerate to one dense GEMM anyway).
     """
     n = L.shape[-1]
     nb = _TRI_SYRK_BLOCK
-    if n % nb or n // nb < 2:
+    if n < 2 * nb:
         return jnp.matmul(L, jnp.swapaxes(L, -1, -2), precision=precision)
-    nd = n // nb
-    S = jnp.zeros_like(L)
-    for j in range(nd):
-        w = (j + 1) * nb
-        strip = jnp.matmul(
-            L[..., j * nb:, :w],
-            jnp.swapaxes(L[..., j * nb:(j + 1) * nb, :w], -1, -2),
-            precision=precision)
-        S = S.at[..., j * nb:, j * nb:(j + 1) * nb].set(strip)
-    return _sym_from_block_lower(S, nd, nb)
+    if n % nb:
+        np_ = _next_mult(n, nb)
+        return syrk_tri_lower(_pad_nn(L, np_), precision)[..., :n, :n]
+    # block-column strips are exactly mul_t_block_lower's with Y = M = L;
+    # the symmetric full matrix is assembled from them.
+    S = mul_t_block_lower(L, L, precision=precision)
+    return _sym_from_block_lower(S, n // nb, nb)
 
 
 def gram_tri_lower(M, precision=None):
@@ -160,11 +179,16 @@ def gram_tri_lower(M, precision=None):
     lower triangle is one GEMM ``M[ib:, ib:ib+nb]^T @ M[ib:, :w]``.  This
     is the potri combination step — (L^{-1})^T L^{-1} — the dominant GEMM
     of every loss backward (f64, f32, and the mixed f32 potri seed).
+    Non-block-divisible n is zero-padded (``_pad_nn``); n < 2 blocks falls
+    back to the dense matmul.
     """
     n = M.shape[-1]
     nb = _TRI_SYRK_BLOCK
-    if n % nb or n // nb < 2:
+    if n < 2 * nb:
         return jnp.matmul(jnp.swapaxes(M, -1, -2), M, precision=precision)
+    if n % nb:
+        np_ = _next_mult(n, nb)
+        return gram_tri_lower(_pad_nn(M, np_), precision)[..., :n, :n]
     nd = n // nb
     S = jnp.zeros_like(M)
     for i in range(nd):
@@ -181,11 +205,17 @@ def trmm_lower(L, X, precision=None):
 
     Block-row i of the product only contracts over columns < (i+1)*nb of L
     (zero beyond), so it is one GEMM ``L[ib:ib+nb, :w] @ X[:w, :]``.
+    Non-block-divisible n is zero-padded (``_pad_nn``; X gets zero rows);
+    n < 2 blocks falls back to the dense matmul.
     """
     n = L.shape[-1]
     nb = _TRI_SYRK_BLOCK
-    if n % nb or n // nb < 2:
+    if n < 2 * nb:
         return jnp.matmul(L, X, precision=precision)
+    if n % nb:
+        np_ = _next_mult(n, nb)
+        Xp = jnp.pad(X, [(0, 0)] * (X.ndim - 2) + [(0, np_ - n), (0, 0)])
+        return trmm_lower(_pad_nn(L, np_), Xp, precision)[..., :n, :]
     nd = n // nb
     rows = []
     for i in range(nd):
@@ -200,15 +230,24 @@ def mul_t_block_lower(Y, M, precision=None):
 
     Block (i, j), j <= i, contracts only over columns < (j+1)*nb (rows of
     M^T beyond are zero), so block-column j of the result's lower triangle
-    is one GEMM ``Y[jb:, :w] @ M[jb:jb+nb, :w]^T``.  The strict block-upper
-    region of the returned matrix is LEFT ZERO — callers that only consume
-    ``tril`` of the product (the Cholesky-refinement projector) never read
-    it.
+    is one GEMM ``Y[jb:, :w] @ M[jb:jb+nb, :w]^T``.
+
+    CONTRACT: only entries on or below the diagonal are specified.  The
+    blocked path leaves the strict block-upper region ZERO; the small-n
+    dense fallback returns the full product (a superset).  Callers must
+    consume at most ``tril`` of the result (the Cholesky-refinement
+    projector does, via ``_phi_lower``'s tril).  Non-block-divisible n is
+    zero-padded (``_pad_nn``); n < 2 blocks falls back to the dense
+    matmul.
     """
     n = M.shape[-1]
     nb = _TRI_SYRK_BLOCK
-    if n % nb or n // nb < 2:
+    if n < 2 * nb:
         return jnp.matmul(Y, jnp.swapaxes(M, -1, -2), precision=precision)
+    if n % nb:
+        np_ = _next_mult(n, nb)
+        return mul_t_block_lower(_pad_nn(Y, np_), _pad_nn(M, np_),
+                                 precision)[..., :n, :n]
     nd = n // nb
     S = jnp.zeros_like(Y)
     for j in range(nd):
@@ -228,11 +267,17 @@ def mul_lower_lower(A, B, precision=None):
     ``A[ib:ib+nb, :w] @ B[:w, :w]`` plus zero-padding: 2n^3/3 flops
     (3x under the dense 2n^3; the per-block-pair n^3/3 form would need
     N^2/2 dispatches for one more 2x — not worth the launch overhead).
+    Non-block-divisible n is zero-padded (``_pad_nn``); n < 2 blocks falls
+    back to the dense matmul.
     """
     n = A.shape[-1]
     nb = _TRI_SYRK_BLOCK
-    if n % nb or n // nb < 2:
+    if n < 2 * nb:
         return jnp.matmul(A, B, precision=precision)
+    if n % nb:
+        np_ = _next_mult(n, nb)
+        return mul_lower_lower(_pad_nn(A, np_), _pad_nn(B, np_),
+                               precision)[..., :n, :n]
     nd = n // nb
     rows = []
     for i in range(nd):

@@ -305,6 +305,42 @@ class TestStructuredTriProducts:
                 np.asarray(linalg.mul_lower_lower(L, P)), np.asarray(L @ P),
                 rtol=1e-12, atol=1e-11)
 
+    def test_padded_non_divisible_sizes(self):
+        """n not a multiple of the 512 block (and >= 2 blocks) takes the
+        zero-padded blocked path, not the dense fallback — all five ops
+        must still match dense exactly, and gradients must flow through
+        the pad/slice."""
+        import jax
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg
+        rng = np.random.default_rng(7)
+        n = 1200
+        L = jnp.asarray(np.tril(rng.standard_normal((2, n, n)))
+                        + 2.0 * np.eye(n))
+        M = jnp.asarray(np.tril(rng.standard_normal((n, n))) + np.eye(n))
+        X = jnp.asarray(rng.standard_normal((n, 64)))
+        Y = jnp.asarray(rng.standard_normal((n, n)))
+        np.testing.assert_allclose(
+            np.asarray(linalg.syrk_tri_lower(L)),
+            np.asarray(L @ jnp.swapaxes(L, -1, -2)), rtol=1e-12, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(linalg.gram_tri_lower(M)), np.asarray(M.T @ M),
+            rtol=1e-12, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(linalg.trmm_lower(M, X)), np.asarray(M @ X),
+            rtol=1e-12, atol=1e-10)
+        got = linalg.mul_t_block_lower(Y, M)
+        np.testing.assert_allclose(
+            np.asarray(jnp.tril(got)), np.asarray(jnp.tril(Y @ M.T)),
+            rtol=1e-12, atol=1e-10)
+        P = jnp.asarray(np.tril(rng.standard_normal((n, n))))
+        np.testing.assert_allclose(
+            np.asarray(linalg.mul_lower_lower(M, P)), np.asarray(M @ P),
+            rtol=1e-12, atol=1e-10)
+        g = jax.grad(
+            lambda a: jnp.sum(linalg.syrk_tri_lower(jnp.tril(a))))(L[0])
+        assert bool(jnp.all(jnp.isfinite(g)))
+
     def test_mixed_refinement_uses_structured_residual(self):
         """cholesky_mixed at a blocked size still reaches the f64 floor —
         the structured residual is exact, not approximate."""
