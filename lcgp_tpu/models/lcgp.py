@@ -882,11 +882,19 @@ class LCGP:
     # Prediction
     # ------------------------------------------------------------------
     def _ensure_aux(self):
-        # 'mixed' accelerates the *training* iterations; the predictive aux
-        # is a one-shot factorization, so it always runs in full f64 —
-        # predictions from a mixed model are bitwise those of a 'high'
-        # model at the same parameters, regardless of conditioning.
-        aux_dtype = None if self.precision == 'mixed' else self._compute_dtype
+        # Under 'mixed' the full/rep predictive aux uses the same refined
+        # factorization as the training loss (ops/mixed.cholesky_mixed +
+        # cho_solve_vec_refined): f64-grade results — same accuracy class
+        # validated to <=1e-8 by benchmarks/validate_mixed.py, on the SAME
+        # factorands (I + D C, C + Lam) — at the f32 factorization cost
+        # (the f64 Cholesky is ~48x slower than f32 on TPU, and the aux
+        # factorization dominates predict at large n).  The distributed
+        # (nshard) and FITC factorizations don't take the sentinel: nshard
+        # stays f64; FITC's (m, m) systems are f64 by design (sparse.py).
+        aux_dtype = self._compute_dtype
+        if self.precision == 'mixed' and (self._n_mesh is not None
+                                          or self._z is not None):
+            aux_dtype = None
         if self._aux is None or self._aux_version != self._params_version:
             if self._z is not None and self._n_mesh is not None:
                 from ..parallel import fitc_shard

@@ -194,3 +194,60 @@ class TestQChunkedPredict:
             for u, v in zip(p1, p2):
                 np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                            rtol=1e-12, atol=1e-14)
+
+
+class TestMixedAux:
+    """precision='mixed' predictive aux: the refined factorization must give
+    f64-grade predictions (round-4; see models/lcgp.py _ensure_aux).  The
+    factorands are the training targets (I + D C, C + Lam) whose refined
+    factors carry the validated <=1e-8 accuracy class."""
+
+    def test_aux_full_mixed_matches_f64(self):
+        data, free, _, b, xs, ys, err = _full_setup(0, 30, 2, 4)
+        x0s = jnp.asarray(_x0(0, 11, 2))
+        aux64 = pred.compute_aux_full(free, data)
+        auxmx = pred.compute_aux_full(free, data, compute_dtype='mixed')
+        np.testing.assert_allclose(np.asarray(auxmx.CinvM),
+                                   np.asarray(aux64.CinvM),
+                                   rtol=1e-9, atol=1e-11)
+        g64 = pred.predict_full_core(free, data, aux64, x0s)
+        gmx = pred.predict_full_core(free, data, auxmx, x0s,
+                                     compute_dtype='mixed')
+        np.testing.assert_allclose(np.asarray(gmx[0]), np.asarray(g64[0]),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gmx[1]), np.asarray(g64[1]),
+                                   rtol=1e-7, atol=1e-10)
+
+    def test_aux_rep_mixed_matches_f64(self):
+        data, free, *_ = _rep_setup(1, 20, 2, 3)
+        d = int(data.xs.shape[1])
+        x0s = jnp.asarray(_x0(1, 9, d))
+        aux64 = pred.compute_aux_rep(free, data)
+        auxmx = pred.compute_aux_rep(free, data, compute_dtype='mixed')
+        np.testing.assert_allclose(np.asarray(auxmx.CinvM),
+                                   np.asarray(aux64.CinvM),
+                                   rtol=1e-9, atol=1e-11)
+        g64 = pred.predict_rep_core(free, data, aux64, x0s)
+        gmx = pred.predict_rep_core(free, data, auxmx, x0s,
+                                    compute_dtype='mixed')
+        np.testing.assert_allclose(np.asarray(gmx[0]), np.asarray(g64[0]),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(gmx[1]), np.asarray(g64[1]),
+                                   rtol=1e-7, atol=1e-10)
+
+    def test_model_level_mixed_predict_matches_high(self):
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(33)
+        x = rng.uniform(0, 1, (40, 2))
+        y = rng.standard_normal((4, 40))
+        x0 = rng.uniform(0, 1, (9, 2))
+        for sub in ('full', 'rep'):
+            mh = LCGP(y=y, x=x, q=3, submethod=sub, precision='high')
+            mm = LCGP(y=y, x=x, q=3, submethod=sub, precision='mixed')
+            mm._free = mh._free
+            mm._params_version += 1
+            ph = mh.predict(x0)
+            pm = mm.predict(x0)
+            for u, v in zip(pm, ph):
+                np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                           rtol=1e-7, atol=1e-9)
