@@ -122,6 +122,11 @@ def _assemble(p: dict) -> dict:
         out['rep_secs_per_eval_mixed'] = round(p['secs_rep_mx'], 4)
     put('rep_q_chunk_f64', p.get('chunk_rep64'))
     put('rep_q_chunk_f32', p.get('chunk_rep32'))
+    put('predict_aux_secs_f64', p.get('aux64'))
+    put('predict_aux_secs_mixed', p.get('aux_mx'))
+    if p.get('aux64') and p.get('aux_mx'):
+        out['predict_aux_speedup_mixed'] = round(p['aux64'] / p['aux_mx'], 2)
+    put('predict_core_secs_256pts', p.get('pred_core'))
     put('device', p.get('device'))
     return out
 
@@ -326,6 +331,43 @@ def _run():
         rep_free, rep_data, chunks=(5, 2))
     PARTIAL['secs_rep_mx'] = secs_rep_mx
     del rep_data, rep_free
+
+    # Predict path: the one-shot aux factorization dominates predict
+    # wall-clock at scale.  Round 4 routes the mixed aux through the
+    # refined factorization (models/lcgp.py _ensure_aux) — this section
+    # records that win in the driver artifact.  Warmup compiles the one
+    # per-chunk executable by running a single chunk (all chunks share
+    # it: traced offset), so each full timing pays q/q_chunk dispatches
+    # of warm code.
+    import jax.numpy as jnp
+    from lcgp_tpu.models import predict as pred_mod
+
+    qc = chunk64 or 5
+
+    def _aux_secs(cd):
+        out = pred_mod._aux_full_chunk(free, data, 0, qc=qc,
+                                       compute_dtype=cd, jitter=0.0,
+                                       kernel='matern32')
+        float(jnp.sum(out[0]))                     # compile + warm sync
+        t0 = time.time()
+        aux = pred_mod.compute_aux_full(free, data, compute_dtype=cd,
+                                        q_chunk=qc)
+        float(jnp.sum(aux.CinvM) + jnp.sum(aux.LB[..., 0, 0]))
+        return round(time.time() - t0, 2), aux
+
+    PARTIAL['aux64'], aux = _aux_secs(None)
+    PARTIAL['aux_mx'], _ = _aux_secs('mixed')
+
+    x0s = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (256, D)))
+
+    def _pred_once():
+        g, v = pred_mod.predict_full_core(free, data, aux, x0s,
+                                          q_chunk=qc)
+        float(jnp.sum(g) + jnp.sum(v))
+    _pred_once()                                   # compile + warm
+    t0 = time.time()
+    _pred_once()
+    PARTIAL['pred_core'] = round(time.time() - t0, 2)
 
     print(json.dumps(_assemble(PARTIAL)))
 
