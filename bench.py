@@ -332,10 +332,9 @@ def _run():
     PARTIAL['secs_rep_mx'] = secs_rep_mx
     del rep_data, rep_free
 
-    # Predict path: the one-shot aux factorization dominates predict
-    # wall-clock at scale.  Round 4 routes the mixed aux through the
-    # refined factorization (models/lcgp.py _ensure_aux) — this section
-    # records that win in the driver artifact.  Warmup compiles the one
+    # Predict path: round 4 routes the mixed aux through the refined
+    # factorization (models/lcgp.py _ensure_aux) — this section records
+    # the f64-vs-mixed one-shot aux cost in the driver artifact.  Warmup compiles the one
     # per-chunk executable by running a single chunk (all chunks share
     # it: traced offset), so each full timing pays q/q_chunk dispatches
     # of warm code.

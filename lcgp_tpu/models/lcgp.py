@@ -886,11 +886,13 @@ class LCGP:
         # factorization as the training loss (ops/mixed.cholesky_mixed +
         # cho_solve_vec_refined): f64-grade results — same accuracy class
         # validated to <=1e-8 by benchmarks/validate_mixed.py, on the SAME
-        # factorands (I + D C, C + Lam) — at the f32 factorization cost
-        # (the f64 Cholesky is ~48x slower than f32 on TPU, and the aux
-        # factorization dominates predict at large n).  The distributed
-        # (nshard) and FITC factorizations don't take the sentinel: nshard
-        # stays f64; FITC's (m, m) systems are f64 by design (sparse.py).
+        # factorands (I + D C, C + Lam).  Measured at n=12288 on v5e
+        # (benchmarks/predict_warm.py): warm predict-after-refit 5.9 s vs
+        # f64's 6.4 s, and the predict program compiles ~2x faster cold
+        # (327 vs 600 s through the tunnel — fewer f64 ops to expand).
+        # The distributed (nshard) and FITC factorizations don't take the
+        # sentinel: nshard stays f64; FITC's (m, m) systems are f64 by
+        # design (sparse.py).
         aux_dtype = self._compute_dtype
         if self.precision == 'mixed' and (self._n_mesh is not None
                                           or self._z is not None):
