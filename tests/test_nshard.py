@@ -275,3 +275,27 @@ class TestNShardAuxPredict:
                                    rtol=1e-9, atol=1e-12)
         np.testing.assert_allclose(np.asarray(gvar), np.asarray(gvar_r),
                                    rtol=1e-8, atol=1e-11)
+
+
+class TestNShardMixedAux:
+    def test_mixed_predict_bitwise_high_on_mesh(self):
+        """n-sharded aux stays pure f64 under precision='mixed' (the
+        refined-aux sentinel applies only to the single-device full/rep
+        paths — models/lcgp.py _ensure_aux): mesh predictions of a mixed
+        model must equal the 'high' mesh model's exactly."""
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(7)
+        x = rng.uniform(0, 1, (24, 2))
+        y = rng.standard_normal((4, 24))
+        x0 = rng.uniform(0, 1, (6, 2))
+        hi = LCGP(y=y, x=x, q=3, precision='high')
+        mx = LCGP(y=y, x=x, q=3, precision='mixed')
+        mx._free = hi._free
+        mx._params_version += 1
+        mesh = nshard.make_n_mesh(8)
+        hi.set_mesh(mesh)
+        mx.set_mesh(mesh)
+        ph = hi.predict(x0)
+        pm = mx.predict(x0)
+        for u, v in zip(pm, ph):
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(v))

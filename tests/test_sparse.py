@@ -191,3 +191,23 @@ class TestClampStatsAndRefinement:
         mdl = LCGP(y=y, x=x)
         with pytest.raises(ValueError, match='inducing'):
             mdl.refine_inducing()
+
+
+class TestFitcMixedAux:
+    def test_mixed_predict_bitwise_high(self):
+        """FITC aux stays pure f64 under precision='mixed' (the refined-aux
+        sentinel applies only to the full/rep dense paths — models/lcgp.py
+        _ensure_aux): predictions must equal the 'high' model's exactly."""
+        rng = np.random.default_rng(5)
+        xtr = rng.uniform(0, 1, (80, 2))
+        ytr = rng.standard_normal((4, 80))
+        x0 = rng.uniform(0, 1, (7, 2))
+        hi = LCGP(y=ytr, x=xtr, q=3, inducing=16, precision='high')
+        mx = LCGP(y=ytr, x=xtr, q=3, inducing=16, precision='mixed')
+        mx._free = hi._free
+        mx._z = hi._z
+        mx._params_version += 1
+        ph = hi.predict(x0)
+        pm = mx.predict(x0)
+        for u, v in zip(pm, ph):
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
