@@ -127,6 +127,7 @@ def _assemble(p: dict) -> dict:
     if p.get('aux64') and p.get('aux_mx'):
         out['predict_aux_speedup_mixed'] = round(p['aux64'] / p['aux_mx'], 2)
     put('predict_core_secs_256pts', p.get('pred_core'))
+    put('predict_error', p.get('predict_error'))
     put('device', p.get('device'))
     return out
 
@@ -334,19 +335,46 @@ def _run():
 
     # Predict path: round 4 routes the mixed aux through the refined
     # factorization (models/lcgp.py _ensure_aux) — this section records
-    # the f64-vs-mixed one-shot aux cost in the driver artifact.  Warmup compiles the one
-    # per-chunk executable by running a single chunk (all chunks share
-    # it: traced offset), so each full timing pays q/q_chunk dispatches
-    # of warm code.
+    # the f64-vs-mixed one-shot aux cost in the driver artifact.  It is
+    # optional extras: any failure here (the tunnel's transient compile
+    # HTTP 500s included — observed once mid-section) must not taint the
+    # headline numbers above, so compiles retry once and a persistent
+    # failure degrades to a predict_error note in an otherwise-normal
+    # line.
+    try:
+        _predict_section(free, data, chunk64 or 5)
+    except Exception as e:  # noqa: BLE001
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        PARTIAL['predict_error'] = f'{type(e).__name__}: {str(e)[:300]}'
+
+    print(json.dumps(_assemble(PARTIAL)))
+
+
+def _predict_section(free, data, qc, attempts=2):
+    """Time the one-shot predictive aux (f64 vs mixed) + 256-pt predict.
+
+    Warmup compiles the one per-chunk executable by running a single
+    chunk (all chunks share it: traced offset), so each full timing pays
+    q/q_chunk dispatches of warm code."""
     import jax.numpy as jnp
     from lcgp_tpu.models import predict as pred_mod
 
-    qc = chunk64 or 5
+    def _retry(fn):
+        for i in range(attempts):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001
+                if i + 1 == attempts or 'HTTP 500' not in str(e):
+                    raise
+                print('[bench] predict-section compile hit a transient '
+                      'tunnel 500; retrying', file=sys.stderr, flush=True)
+                time.sleep(20)
 
     def _aux_secs(cd):
-        out = pred_mod._aux_full_chunk(free, data, 0, qc=qc,
-                                       compute_dtype=cd, jitter=0.0,
-                                       kernel='matern32')
+        out = _retry(lambda: pred_mod._aux_full_chunk(
+            free, data, 0, qc=qc, compute_dtype=cd, jitter=0.0,
+            kernel='matern32'))
         float(jnp.sum(out[0]))                     # compile + warm sync
         t0 = time.time()
         aux = pred_mod.compute_aux_full(free, data, compute_dtype=cd,
@@ -363,12 +391,10 @@ def _run():
         g, v = pred_mod.predict_full_core(free, data, aux, x0s,
                                           q_chunk=qc)
         float(jnp.sum(g) + jnp.sum(v))
-    _pred_once()                                   # compile + warm
+    _retry(_pred_once)                             # compile + warm
     t0 = time.time()
     _pred_once()
     PARTIAL['pred_core'] = round(time.time() - t0, 2)
-
-    print(json.dumps(_assemble(PARTIAL)))
 
 
 def main():
