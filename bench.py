@@ -379,7 +379,13 @@ def _predict_section(free, data, qc, attempts=2):
         t0 = time.time()
         aux = pred_mod.compute_aux_full(free, data, compute_dtype=cd,
                                         q_chunk=qc)
-        float(jnp.sum(aux.CinvM) + jnp.sum(aux.LB[..., 0, 0]))
+        # sync via the (q, n) CinvM only: the device stream is in-order,
+        # so the LB concat dispatched alongside has completed too.  Do
+        # NOT read LB with a trailing-dim slice here — XLA lays the
+        # (q, n, n) f64 argument batch-minor for such a program, a 6.4x
+        # tile-padded 16 GB relayout copy that OOMs the chip (measured;
+        # same pathology as the lax.map note in models/predict.py).
+        float(jnp.sum(aux.CinvM))
         return round(time.time() - t0, 2), aux
 
     PARTIAL['aux64'], aux = _aux_secs(None)
