@@ -472,15 +472,27 @@ class LCGP:
                                 kernel=self.kernel)
 
     def set_mesh(self, mesh):
-        """Attach (or detach with None) an ('n',) device mesh: subsequent
-        loss/fit/aux/predict run n-axis distributed (parallel/nshard).
-        The exact single-chip path caps around n≈12-13k f64 on a v5e
-        (_auto_q_chunk's HBM model); the n-sharded path scales that limit
-        linearly with the mesh size."""
-        if mesh is not None and tuple(mesh.axis_names) != ('n',):
-            raise ValueError(
-                f"set_mesh needs an ('n',) mesh (parallel.nshard."
-                f"make_n_mesh); got axis names {tuple(mesh.axis_names)!r}")
+        """Attach (or detach with None) an ('n',) or ('comp','n') device
+        mesh: subsequent loss/fit/aux/predict run n-axis distributed
+        (parallel/nshard).  The exact single-chip path caps around
+        n≈12-13k f64 on a v5e (_auto_q_chunk's HBM model); the n-sharded
+        path scales that limit linearly with the mesh size.  A 2-D
+        ('comp','n') mesh (parallel.nshard.make_nc_mesh) additionally
+        shards the q components over 'comp' groups, keeping the
+        distributed factorization's sequential panel loop short at large
+        device counts (exact path only — FITC models need ('n',))."""
+        if mesh is not None:
+            names = tuple(mesh.axis_names)
+            if names not in (('n',), ('comp', 'n')):
+                raise ValueError(
+                    f"set_mesh needs an ('n',) or ('comp','n') mesh "
+                    f"(parallel.nshard.make_n_mesh / make_nc_mesh); got "
+                    f"axis names {names!r}")
+            if names == ('comp', 'n') and self._z is not None:
+                raise ValueError(
+                    "inducing-point (FITC) models shard over an ('n',) "
+                    "mesh only — the Woodbury panel's p-axis data terms "
+                    "don't decompose over 'comp'; use make_n_mesh")
         # Inducing-point (FITC) models shard too: the (q, n, m) Woodbury
         # panel is n-bounded in memory, and parallel/fitc_shard distributes
         # its rows exactly (loss/aux identical up to float reordering).
@@ -640,18 +652,21 @@ class LCGP:
         mesh = kwargs.pop('mesh', None)
         if mesh is not None:
             axes = tuple(mesh.axis_names)
-            if axes == ('n',):
+            if axes in (('n',), ('comp', 'n')):
                 # n-axis distributed path: loss/grad via the blocked
                 # distributed Cholesky (parallel/nshard.py); callbacks
                 # (incl. checkpointing) work — the optimizer loop is the
-                # same host-synced one as single-device.
+                # same host-synced one as single-device.  ('comp','n')
+                # additionally shards q over comp groups (set_mesh
+                # validates FITC compatibility).
                 return self._fit_nsharded(mesh, verbose=verbose,
                                           method=method, **kwargs)
             if axes != ('comp', 'out'):
                 raise ValueError(
-                    f"fit(mesh=...) needs axis names ('n',) or "
-                    f"('comp', 'out'); got {axes!r}.  Build one with "
-                    "parallel.make_mesh or parallel.nshard.make_n_mesh.")
+                    f"fit(mesh=...) needs axis names ('n',), "
+                    f"('comp','n') or ('comp', 'out'); got {axes!r}.  "
+                    "Build one with parallel.make_mesh, parallel.nshard."
+                    "make_n_mesh or parallel.nshard.make_nc_mesh.")
             # ('comp','out') mesh: full optimizer parity with the
             # single-device paths (VERDICT r3 weak #4) — callbacks (incl.
             # mid-fit checkpointing, wired above) fire at block-boundary

@@ -29,6 +29,18 @@ longer fits one chip.  This module shards the *design-point* axis n:
 
 The panel loop is a static Python loop of length ndev — under jit it
 unrolls into a fixed program (no data-dependent control flow).
+
+2-D ('comp','n') meshes (round 4): every entry point also accepts a mesh
+with a leading 'comp' axis (:func:`make_nc_mesh`) that shards the q
+component stack *across* device groups while each group runs the n-sharded
+algorithm above on its components.  The sequential panel loop's length is
+the **n-axis size only**, so at pod scale ('comp' × 'n') keeps the
+factorization's critical path short (e.g. 256 chips as 32×8 → 8 panel
+steps, not 256) while per-device memory still divides by the full device
+count.  No cross-component collectives exist: the bodies are unchanged,
+only the shard_map specs map the q axis onto 'comp'.  q not divisible by
+the comp size is zero-padded with neutral components whose terms are
+sliced away (gradients unpad automatically through ``jnp.pad``'s VJP).
 """
 from __future__ import annotations
 
@@ -48,6 +60,7 @@ from ..ops.gram import gram_stack, gram_vjp
 from ..ops.matern import matern32_diag
 
 AXIS = 'n'
+COMP = 'comp'
 
 
 def make_n_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -56,6 +69,65 @@ def make_n_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (AXIS,))
+
+
+def make_nc_mesh(n_comp: int, n_n: int, devices=None) -> Mesh:
+    """2-D ('comp','n') mesh: q components sharded over 'comp' groups,
+    each group running the n-sharded algorithm over its 'n' submesh.
+
+    'comp' is the outer axis so each group's 'n' devices are contiguous —
+    the heavy collectives (panel all_gathers, row psums) ride neighboring
+    ICI links while 'comp' needs no collectives at all."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    if len(devices) < n_comp * n_n:
+        raise ValueError(f'need {n_comp * n_n} devices, have {len(devices)}')
+    arr = np.array(devices[:n_comp * n_n]).reshape(n_comp, n_n)
+    return Mesh(arr, (COMP, AXIS))
+
+
+def is_n_mesh(mesh) -> bool:
+    """True for meshes this module executes on: ('n',) or ('comp','n')."""
+    return tuple(mesh.axis_names) in ((AXIS,), (COMP, AXIS))
+
+
+def _n_size(mesh: Mesh) -> int:
+    """Devices along the n axis (the panel-loop length)."""
+    return mesh.shape[AXIS]
+
+
+def _qax(mesh: Mesh):
+    """Mesh axis the q component dim maps to (None on a 1-D ('n',) mesh)."""
+    return COMP if COMP in mesh.axis_names else None
+
+
+def _q_pad(mesh: Mesh, q: int) -> int:
+    """q padded up to a multiple of the comp-axis size."""
+    nc = mesh.shape[COMP] if COMP in mesh.axis_names else 1
+    return -(-q // nc) * nc
+
+
+def _pad_q(a, qp: int, fill: float = 0.0):
+    """Pad axis 0 (the q component axis) of ``a`` up to qp with ``fill``.
+
+    Gradients unpad automatically: the loss only consumes the first q
+    entries of the per-component terms, so padded components receive zero
+    cotangents and ``jnp.pad``'s VJP slices the (zero) tail away."""
+    if a.shape[0] == qp:
+        return a
+    widths = [(0, qp - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return jnp.pad(a, widths, constant_values=fill)
+
+
+def _pad_q_params(mesh, lLmb, lLmb0, lnug):
+    """Pad the q axis of the kernel params by tiling the last component —
+    benign values that keep every padded Gram factorization well-posed."""
+    qp = _q_pad(mesh, lLmb0.shape[0])
+    if qp == lLmb0.shape[0]:
+        return lLmb, lLmb0, lnug
+    reps = [(0, qp - lLmb.shape[0])] + [(0, 0)] * (lLmb.ndim - 1)
+    return (jnp.pad(lLmb, reps, mode='edge'),
+            jnp.pad(lLmb0, (0, qp - lLmb0.shape[0]), mode='edge'),
+            jnp.pad(lnug, (0, qp - lnug.shape[0]), mode='edge'))
 
 
 def _is_mine(idx, k):
@@ -200,7 +272,7 @@ def dist_cholesky(mesh: Mesh, A):
     Returns L with the row axis sharded over 'n'.  n must divide evenly by
     the mesh size (use the loss wrapper for automatic padding).
     """
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     fn = jax.shard_map(
         partial(_dist_cholesky_local, ndev=ndev), mesh=mesh,
         in_specs=P(None, AXIS, None), out_specs=P(None, AXIS, None))
@@ -209,7 +281,7 @@ def dist_cholesky(mesh: Mesh, A):
 
 def dist_cho_solve_vec(mesh: Mesh, L, b):
     """Distributed (L L^T)^{-1} b for the factor from :func:`dist_cholesky`."""
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     fn = jax.shard_map(
         partial(_dist_cho_solve_vec_local, ndev=ndev), mesh=mesh,
         in_specs=(P(None, AXIS, None), P(None, AXIS)),
@@ -219,7 +291,7 @@ def dist_cho_solve_vec(mesh: Mesh, L, b):
 
 def dist_cho_solve(mesh: Mesh, L, B):
     """Distributed (L L^T)^{-1} B, B (q, n, m) with rows sharded."""
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     fn = jax.shard_map(
         partial(_dist_cho_solve_rows_local, ndev=ndev), mesh=mesh,
         in_specs=(P(None, AXIS, None), P(None, AXIS, None)),
@@ -229,7 +301,7 @@ def dist_cho_solve(mesh: Mesh, L, B):
 
 def dist_chol_inverse(mesh: Mesh, L):
     """Distributed (L L^T)^{-1}, returned row-sharded."""
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     fn = jax.shard_map(
         partial(_dist_chol_inverse_rows_local, ndev=ndev), mesh=mesh,
         in_specs=P(None, AXIS, None), out_specs=P(None, AXIS, None))
@@ -237,7 +309,7 @@ def dist_chol_inverse(mesh: Mesh, L):
 
 
 def dist_chol_logdet(mesh: Mesh, L):
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     fn = jax.shard_map(
         partial(_dist_chol_logdet_local, ndev=ndev), mesh=mesh,
         in_specs=P(None, AXIS, None), out_specs=P(None))
@@ -365,29 +437,31 @@ def _nshard_full_bwd_local(xblk, mblk, a_blk, lLmb, lLmb0, lnug, D,
 def _shmap_full_fwd(mesh, ndev, jitter, kernel, compute_dtype):
     body = partial(_nshard_full_fwd_local, ndev=ndev, jitter=jitter,
                    kernel=kernel, compute_dtype=compute_dtype)
+    qa = _qax(mesh)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
-                  P(None, None), P(None), P(None), P(None)),
-        out_specs=(P(), P(None, AXIS, None), P(None, AXIS)))
+        in_specs=(P(AXIS, None), P(AXIS), P(qa, AXIS),
+                  P(qa, None), P(qa), P(qa), P(qa)),
+        out_specs=(P(qa), P(qa, AXIS, None), P(qa, AXIS)))
 
 
 def _shmap_full_bwd(mesh, ndev, jitter, kernel, compute_dtype):
     body = partial(_nshard_full_bwd_local, ndev=ndev, jitter=jitter,
                    kernel=kernel, compute_dtype=compute_dtype)
+    qa = _qax(mesh)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
-                  P(None, None), P(None), P(None), P(None),
-                  P(None, AXIS, None), P(None, AXIS), P(None)),
-        out_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
-                   P(None, None), P(None), P(None), P(None)))
+        in_specs=(P(AXIS, None), P(AXIS), P(qa, AXIS),
+                  P(qa, None), P(qa), P(qa), P(qa),
+                  P(qa, AXIS, None), P(qa, AXIS), P(qa)),
+        out_specs=(P(AXIS, None), P(AXIS), P(qa, AXIS),
+                   P(qa, None), P(qa), P(qa), P(qa)))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _full_terms_nsharded(mesh, jitter, kernel, compute_dtype,
                          xs, mask, a, lLmb, lLmb0, lnug, D):
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     terms, _, _ = _shmap_full_fwd(mesh, ndev, jitter, kernel, compute_dtype)(
         xs, mask, a, lLmb, lLmb0, lnug, D)
     return terms
@@ -395,7 +469,7 @@ def _full_terms_nsharded(mesh, jitter, kernel, compute_dtype,
 
 def _full_terms_nsharded_fwd(mesh, jitter, kernel, compute_dtype,
                              xs, mask, a, lLmb, lLmb0, lnug, D):
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     terms, LB, w = _shmap_full_fwd(mesh, ndev, jitter, kernel,
                                    compute_dtype)(
         xs, mask, a, lLmb, lLmb0, lnug, D)
@@ -404,7 +478,7 @@ def _full_terms_nsharded_fwd(mesh, jitter, kernel, compute_dtype,
 
 def _full_terms_nsharded_bwd(mesh, jitter, kernel, compute_dtype, res, tbar):
     xs, mask, a, lLmb, lLmb0, lnug, D, LB, w = res
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     out = _shmap_full_bwd(mesh, ndev, jitter, kernel, compute_dtype)(
         xs, mask, a, lLmb, lLmb0, lnug, D, LB, w, tbar)
     return out
@@ -419,7 +493,7 @@ def _full_terms_nsharded_raw(mesh, jitter, kernel, compute_dtype,
     unrolled distributed factorization.  Exists only for the memory A/B
     (benchmarks/nshard_memory.py, tests): every panel iteration's
     intermediates become backward residuals, per device."""
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     terms, _, _ = _shmap_full_fwd(mesh, ndev, jitter, kernel, compute_dtype)(
         xs, mask, a, lLmb, lLmb0, lnug, D)
     return terms
@@ -432,14 +506,17 @@ def neglpost_full_nsharded(free: Pm.FreeParams, data: FullData, mesh: Mesh,
     """Full-data loss with the n axis sharded over the mesh.
 
     Semantics identical to ``likelihood.neglpost_full`` (reference
-    lcgp.py:635-666); n is padded to a multiple of the mesh size with
-    loss-neutral rows (C zeroed, unit diagonal, zero data weight).
-    _custom_vjp=False switches to plain autodiff through the unrolled
-    distributed factorization (memory A/B only).
+    lcgp.py:635-666); n is padded to a multiple of the n-axis size with
+    loss-neutral rows (C zeroed, unit diagonal, zero data weight).  On a
+    2-D ('comp','n') mesh the q axis is additionally padded/sharded over
+    'comp'.  _custom_vjp=False switches to plain autodiff through the
+    unrolled distributed factorization (memory A/B only).
     """
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     n = data.xs.shape[0]
+    q = data.phi.shape[1]
     n_pad = -(-n // ndev) * ndev
+    qp = _q_pad(mesh, q)
 
     lLmb, lLmb0, lsig_g, lnug = Pm.constrain(free)
     lsig = Pm.expand_sigma(lsig_g, data.sigma_map)
@@ -451,13 +528,16 @@ def neglpost_full_nsharded(free: Pm.FreeParams, data: FullData, mesh: Mesh,
     xs = _pad_to(data.xs, n_pad, axis=0, fill=0.5)
     mask = _pad_to(jnp.ones((n,), dtype=data.xs.dtype), n_pad, axis=0)
     a = _pad_to(a, n_pad, axis=1)
+    lLmb, lLmb0, lnug = _pad_q_params(mesh, lLmb, lLmb0, lnug)
+    a = _pad_q(a, qp)
+    D = _pad_q(data.diag_D, qp, fill=1.0)   # D=1 keeps the padded B=C+I PSD
 
     terms_fn = _full_terms_nsharded if _custom_vjp else \
         _full_terms_nsharded_raw
     terms = terms_fn(mesh, jitter, kernel, compute_dtype,
-                     xs, mask, a, lLmb, lLmb0, lnug, data.diag_D)
+                     xs, mask, a, lLmb, lLmb0, lnug, D)
 
-    nlp = jnp.sum(terms).astype(data.ys.dtype)
+    nlp = jnp.sum(terms[:q]).astype(data.ys.dtype)
     nlp += 0.5 * n * jnp.sum(lsig)
     nlp += 0.5 * jnp.sum(jnp.square(data.ys / jnp.sqrt(sigma)[:, None]))
     return nlp
@@ -520,30 +600,32 @@ def _nshard_rep_bwd_local(xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0,
 def _shmap_rep_fwd(mesh, ndev, kernel, compute_dtype):
     body = partial(_nshard_rep_fwd_local, ndev=ndev, kernel=kernel,
                    compute_dtype=compute_dtype)
+    qa = _qax(mesh)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
-                  P(None, AXIS), P(None, None), P(None), P(None)),
-        out_specs=(P(), P(None, AXIS, None), P(None, AXIS), P(None, AXIS)))
+        in_specs=(P(AXIS, None), P(AXIS), P(qa, AXIS), P(qa, None),
+                  P(qa, AXIS), P(qa, None), P(qa), P(qa)),
+        out_specs=(P(qa), P(qa, AXIS, None), P(qa, AXIS), P(qa, AXIS)))
 
 
 def _shmap_rep_bwd(mesh, ndev, kernel, compute_dtype):
     body = partial(_nshard_rep_bwd_local, ndev=ndev, kernel=kernel,
                    compute_dtype=compute_dtype)
+    qa = _qax(mesh)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
-                  P(None, AXIS), P(None, None), P(None), P(None),
-                  P(None, AXIS, None), P(None, AXIS), P(None, AXIS),
-                  P(None)),
-        out_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
-                   P(None, AXIS), P(None, None), P(None), P(None)))
+        in_specs=(P(AXIS, None), P(AXIS), P(qa, AXIS), P(qa, None),
+                  P(qa, AXIS), P(qa, None), P(qa), P(qa),
+                  P(qa, AXIS, None), P(qa, AXIS), P(qa, AXIS),
+                  P(qa)),
+        out_specs=(P(AXIS, None), P(AXIS), P(qa, AXIS), P(qa, None),
+                   P(qa, AXIS), P(qa, None), P(qa), P(qa)))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
 def _rep_terms_nsharded(mesh, kernel, compute_dtype,
                         xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug):
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     terms, _, _, _ = _shmap_rep_fwd(mesh, ndev, kernel, compute_dtype)(
         xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
     return terms
@@ -551,7 +633,7 @@ def _rep_terms_nsharded(mesh, kernel, compute_dtype,
 
 def _rep_terms_nsharded_fwd(mesh, kernel, compute_dtype,
                             xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug):
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     terms, LT, u, Cu = _shmap_rep_fwd(mesh, ndev, kernel, compute_dtype)(
         xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
     return terms, (xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug, LT, u, Cu)
@@ -559,7 +641,7 @@ def _rep_terms_nsharded_fwd(mesh, kernel, compute_dtype,
 
 def _rep_terms_nsharded_bwd(mesh, kernel, compute_dtype, res, tbar):
     xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug, LT, u, Cu = res
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     return _shmap_rep_bwd(mesh, ndev, kernel, compute_dtype)(
         xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug, LT, u, Cu, tbar)
 
@@ -575,7 +657,7 @@ def neglpost_rep_nsharded(free: Pm.FreeParams, data: RepData, mesh: Mesh,
     Semantics identical to ``likelihood.neglpost_rep`` (reference
     lcgp.py:554-630); n padded with loss-neutral rows.
     """
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     n = data.xs.shape[0]
     p = data.ybar.shape[0]
     n_pad = -(-n // ndev) * ndev
@@ -607,10 +689,17 @@ def neglpost_rep_nsharded(free: Pm.FreeParams, data: RepData, mesh: Mesh,
     b = _pad_to(b, n_pad, axis=1)
     lam = _pad_to(lam, n_pad, axis=1, fill=1.0)
 
+    q = data.phi.shape[1]
+    qp = _q_pad(mesh, q)
+    lLmb_p, lLmb0_p, lnug_p = _pad_q_params(mesh, lLmb, lLmb0, lnug)
+    b = _pad_q(b, qp)
+    lam = _pad_q(lam, qp, fill=1.0)   # padded comp: A = C + I, well-posed
+    jit_q = _pad_q(jit_q, qp)
+
     comp_terms = _rep_terms_nsharded(mesh, kernel, compute_dtype,
                                      xs, mask, lam, jit_q, b,
-                                     lLmb, lLmb0, lnug)
-    nlp += jnp.sum(comp_terms).astype(nlp.dtype)
+                                     lLmb_p, lLmb0_p, lnug_p)
+    nlp += jnp.sum(comp_terms[:q]).astype(nlp.dtype)
     return nlp / n
 
 
@@ -671,7 +760,7 @@ def _nshard_aux_rep_local(xblk, mblk, lamblk, jit_q, b_blk, lLmb, lLmb0,
                                    'kernel'))
 def _aux_rep_nsharded_jit(free, data, *, mesh, compute_dtype, jitter,
                           kernel):
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     n = data.xs.shape[0]
     n_pad = -(-n // ndev) * ndev
     lLmb, lLmb0, lsig_g, lnug = Pm.constrain(free)
@@ -688,13 +777,18 @@ def _aux_rep_nsharded_jit(free, data, *, mesh, compute_dtype, jitter,
     jit_q = jitter * (1.0 + lLmb0[:, None])
     b = _pad_to(b, n_pad, axis=1)
     lam = _pad_to(lam, n_pad, axis=1, fill=1.0)
+    qp = _q_pad(mesh, data.phi.shape[1])
+    lLmb, lLmb0, lnug = _pad_q_params(mesh, lLmb, lLmb0, lnug)
+    b, lam, jit_q = _pad_q(b, qp), _pad_q(lam, qp, fill=1.0), \
+        _pad_q(jit_q, qp)
+    qa = _qax(mesh)
     body = partial(_nshard_aux_rep_local, ndev=ndev, kernel=kernel,
                    compute_dtype=compute_dtype)
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
-                  P(None, AXIS), P(None, None), P(None), P(None)),
-        out_specs=(P(None, AXIS), P(None, AXIS, None)))
+        in_specs=(P(AXIS, None), P(AXIS), P(qa, AXIS), P(qa, None),
+                  P(qa, AXIS), P(qa, None), P(qa), P(qa)),
+        out_specs=(P(qa, AXIS), P(qa, AXIS, None)))
     return fn(xs, mask, lam, jit_q, b, lLmb, lLmb0, lnug)
 
 
@@ -702,7 +796,7 @@ def _aux_rep_nsharded_jit(free, data, *, mesh, compute_dtype, jitter,
                                    'kernel'))
 def _aux_full_nsharded_jit(free, data, *, mesh, compute_dtype, jitter,
                            kernel):
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     n = data.xs.shape[0]
     n_pad = -(-n // ndev) * ndev
     lLmb, lLmb0, lsig_g, lnug = Pm.constrain(free)
@@ -714,14 +808,19 @@ def _aux_full_nsharded_jit(free, data, *, mesh, compute_dtype, jitter,
 
     psi_c = data.phi / jnp.sqrt(sigma_raw)[:, None]
     a = _pad_to((data.ys.T @ psi_c).T, n_pad, axis=1)
+    qp = _q_pad(mesh, data.phi.shape[1])
+    lLmb, lLmb0, lnug = _pad_q_params(mesh, lLmb, lLmb0, lnug)
+    a = _pad_q(a, qp)
+    D = _pad_q(data.diag_D, qp, fill=1.0)
+    qa = _qax(mesh)
     body = partial(_nshard_aux_full_local, ndev=ndev, jitter=jitter,
                    kernel=kernel, compute_dtype=compute_dtype)
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS),
-                  P(None, None), P(None), P(None), P(None)),
-        out_specs=(P(None, AXIS), P(None, AXIS, None)))
-    return fn(xs, mask, a, lLmb, lLmb0, lnug, data.diag_D)
+        in_specs=(P(AXIS, None), P(AXIS), P(qa, AXIS),
+                  P(qa, None), P(qa), P(qa), P(qa)),
+        out_specs=(P(qa, AXIS), P(qa, AXIS, None)))
+    return fn(xs, mask, a, lLmb, lLmb0, lnug, D)
 
 
 def compute_aux_nsharded(free: Pm.FreeParams, data, mesh: Mesh,
@@ -766,23 +865,27 @@ def _nshard_predict_local(xblk, mblk, Lblk, ublk, x0s, lLmb, lLmb0, lnug,
                                    'kernel'))
 def _predict_nsharded_jit(free, xs_train, u, L, x0s, diag_D, *,
                           mesh, kind, compute_dtype, kernel):
-    ndev = mesh.devices.size
+    ndev = _n_size(mesh)
     n = xs_train.shape[0]
     n_pad = L.shape[-1]
+    q = diag_D.shape[0]
     lLmb, lLmb0, _, lnug = Pm.constrain(free)
+    lLmb_p, lLmb0_p, lnug_p = _pad_q_params(mesh, lLmb, lLmb0, lnug)
 
     xs = _pad_to(xs_train, n_pad, axis=0, fill=0.5)
     mask = _pad_to(jnp.ones((n,), dtype=xs_train.dtype), n_pad, axis=0)
 
+    qa = _qax(mesh)
     body = partial(_nshard_predict_local, ndev=ndev, kernel=kernel,
                    compute_dtype=compute_dtype)
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS, None),
-                  P(None, AXIS), P(None, None), P(None, None), P(None),
-                  P(None)),
-        out_specs=(P(), P()))
-    ghat, ssq = fn(xs, mask, L, u, x0s, lLmb, lLmb0, lnug)
+        in_specs=(P(AXIS, None), P(AXIS), P(qa, AXIS, None),
+                  P(qa, AXIS), P(None, None), P(qa, None), P(qa),
+                  P(qa)),
+        out_specs=(P(qa, None), P(qa, None)))
+    ghat, ssq = fn(xs, mask, L, u, x0s, lLmb_p, lLmb0_p, lnug_p)
+    ghat, ssq = ghat[:q], ssq[:q]
 
     c00 = matern32_diag(x0s, lLmb0).astype(ssq.dtype)
     if kind == 'full':

@@ -299,3 +299,98 @@ class TestNShardMixedAux:
         pm = mx.predict(x0)
         for u, v in zip(pm, ph):
             np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+class TestNCMesh:
+    """2-D ('comp','n') mesh: q components sharded over 'comp' groups,
+    each group running the distributed-Cholesky n algorithm.  Parity
+    must hold for every factorization of 8 devices, including comp
+    sizes that don't divide q (component zero-padding path)."""
+
+    @pytest.mark.parametrize('nc,nn', [(2, 4), (4, 2), (1, 8)])
+    def test_full_loss_and_grad_parity(self, nc, nn):
+        data, free = _full_problem(q=3, p=6, n=24, d=2, seed=3)  # 3 % 2 != 0
+        mesh = nshard.make_nc_mesh(nc, nn)
+        v, g = nshard.make_nsharded_value_and_grad(mesh, data)(free)
+        ref_v, ref_g = jax.value_and_grad(lik.neglpost_full)(free, data)
+        np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-12)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-11)
+
+    @pytest.mark.parametrize('nc,nn', [(2, 4), (4, 2)])
+    def test_rep_loss_and_grad_parity(self, nc, nn):
+        data, free = _rep_problem(q=3, p=6, n=20, d=2, seed=4)
+        mesh = nshard.make_nc_mesh(nc, nn)
+        v, g = nshard.make_nsharded_value_and_grad(mesh, data)(free)
+        ref_v, ref_g = jax.value_and_grad(lik.neglpost_rep)(free, data)
+        np.testing.assert_allclose(float(v), float(ref_v), rtol=1e-12)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ref_g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-11)
+
+    def test_divisible_q_no_padding(self):
+        data, free = _full_problem(q=4, p=8, n=24, d=2, seed=5)
+        mesh = nshard.make_nc_mesh(4, 2)
+        v, _ = nshard.make_nsharded_value_and_grad(mesh, data)(free)
+        ref = lik.neglpost_full(free, data)
+        np.testing.assert_allclose(float(v), float(ref), rtol=1e-12)
+
+    @pytest.mark.parametrize('kind', ['full', 'rep'])
+    def test_predict_parity(self, kind):
+        from lcgp_tpu.models import predict as pred
+        mesh = nshard.make_nc_mesh(2, 4)
+        rng = np.random.default_rng(6)
+        x0s = jnp.asarray(rng.uniform(0, 1, (7, 2)))
+        if kind == 'full':
+            data, free = _full_problem(q=3, p=6, n=24, d=2, seed=6)
+            aux_r = pred.compute_aux_full(free, data)
+            gh_r, gv_r = pred.predict_full_core(free, data, aux_r, x0s)
+        else:
+            data, free = _rep_problem(q=3, p=6, n=24, d=2, seed=6)
+            aux_r = pred.compute_aux_rep(free, data)
+            gh_r, gv_r = pred.predict_rep_core(free, data, aux_r, x0s)
+        aux = nshard.compute_aux_nsharded(free, data, mesh)
+        gh, gv = nshard.predict_nsharded_core(free, data, aux, x0s, mesh)
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gh_r),
+                                   rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(gv), np.asarray(gv_r),
+                                   rtol=1e-8, atol=1e-11)
+
+    def test_fit_through_api(self):
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(7)
+        x = rng.uniform(0, 1, (24, 2))
+        y = rng.standard_normal((5, 24))
+        mesh = nshard.make_nc_mesh(2, 4)
+        model = LCGP(y=y, x=x, q=3)
+        model.fit(mesh=mesh, method='adam', steps=6, learning_rate=1e-2)
+        x0 = rng.uniform(0, 1, (5, 2))
+        yp = np.asarray(model.predict(x0)[0])
+        single = LCGP(y=y, x=x, q=3)
+        single._free = model._free
+        single._params_version += 1
+        yp_ref = np.asarray(single.predict(x0)[0])
+        np.testing.assert_allclose(yp, yp_ref, rtol=1e-8, atol=1e-10)
+
+    def test_fitc_comp_mesh_rejected(self):
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(8)
+        x = rng.uniform(0, 1, (24, 2))
+        y = rng.standard_normal((4, 24))
+        model = LCGP(y=y, x=x, q=2, inducing=8)
+        mesh = nshard.make_nc_mesh(2, 4)
+        with pytest.raises(ValueError, match="'n',.. mesh only|FITC"):
+            model.fit(mesh=mesh, method='adam', steps=2)
+
+    def test_fast_dtype_parity(self):
+        """f32 compute on the 2-D mesh matches the single-device f32 loss
+        to f32-grade tolerance."""
+        data, free = _full_problem(q=3, p=6, n=24, d=2, seed=9)
+        mesh = nshard.make_nc_mesh(2, 4)
+        v = nshard.neglpost_full_nsharded(free, data, mesh,
+                                          compute_dtype=jnp.float32,
+                                          jitter=1e-6)
+        ref = lik.neglpost_full(free, data, compute_dtype=jnp.float32,
+                                jitter=1e-6)
+        np.testing.assert_allclose(float(v), float(ref), rtol=2e-5)
