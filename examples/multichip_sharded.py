@@ -101,6 +101,26 @@ def main():
           f'predict vs single-device max diff '
           f'{np.max(np.abs(ypf - ypf_ref)):.2e}')
 
+    # 2-D ('comp','n') mesh (round 4): q components shard over 'comp'
+    # groups, each group runs the distributed blocked Cholesky over its
+    # 'n' submesh — at pod scale this keeps the factorization's
+    # sequential panel loop at the n-axis size (32x8 on 256 chips -> 8
+    # panel steps, not 256).  Same API; exact and FITC paths both ride it.
+    if len(jax.devices()) >= 4:
+        ncmesh = nshard.make_nc_mesh(2, len(jax.devices()) // 2)
+        model_c = LCGP(y=y, x=x, q=q)
+        t0 = time.time()
+        model_c.fit(mesh=ncmesh, method='adam', steps=args.steps,
+                    learning_rate=3e-2)
+        ypc = np.asarray(model_c.predict(x0)[0])
+        single_c = LCGP(y=y, x=x, q=q)
+        single_c._free = model_c._free
+        single_c._params_version += 1
+        ypc_ref = np.asarray(single_c.predict(x0)[0])
+        print(f"('comp','n') {dict(ncmesh.shape)} fit+predict in "
+              f'{time.time() - t0:.2f}s; predict vs single-device max '
+              f'diff {np.max(np.abs(ypc - ypc_ref)):.2e}')
+
 
 if __name__ == '__main__':
     main()

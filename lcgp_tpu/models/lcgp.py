@@ -480,7 +480,7 @@ class LCGP:
         ('comp','n') mesh (parallel.nshard.make_nc_mesh) additionally
         shards the q components over 'comp' groups, keeping the
         distributed factorization's sequential panel loop short at large
-        device counts (exact path only — FITC models need ('n',))."""
+        device counts (both the exact and FITC paths)."""
         if mesh is not None:
             names = tuple(mesh.axis_names)
             if names not in (('n',), ('comp', 'n')):
@@ -488,11 +488,6 @@ class LCGP:
                     f"set_mesh needs an ('n',) or ('comp','n') mesh "
                     f"(parallel.nshard.make_n_mesh / make_nc_mesh); got "
                     f"axis names {names!r}")
-            if names == ('comp', 'n') and self._z is not None:
-                raise ValueError(
-                    "inducing-point (FITC) models shard over an ('n',) "
-                    "mesh only — the Woodbury panel's p-axis data terms "
-                    "don't decompose over 'comp'; use make_n_mesh")
         # Inducing-point (FITC) models shard too: the (q, n, m) Woodbury
         # panel is n-bounded in memory, and parallel/fitc_shard distributes
         # its rows exactly (loss/aux identical up to float reordering).

@@ -1,4 +1,5 @@
-"""n-sharded FITC: the (q, n, m) Woodbury panel distributed over an ('n',) mesh.
+"""n-sharded FITC: the (q, n, m) Woodbury panel distributed over an ('n',)
+or ('comp','n') mesh.
 
 The single-chip FITC path (models/sparse.py) is m-bounded in FLOPs per data
 point but n-bounded in memory: the resident (q, n, m) W panel plus the Knm
@@ -13,6 +14,14 @@ Unlike the exact n-sharded path (nshard.py's distributed Cholesky with a
 custom VJP), no custom VJP is needed here: the autodiff residuals are the
 per-device panel blocks, the same footprint as the forward, and every
 collective is a plain ``psum`` whose transpose JAX derives automatically.
+
+On a 2-D ('comp','n') mesh (nshard.make_nc_mesh) the q components
+additionally shard over 'comp': the bodies return per-component
+(quad, logdet) with no cross-component coupling, so — exactly as in
+nshard — the q axis maps onto 'comp' purely via the partition specs, with
+q padded by neutral components (zero phi columns) when not divisible.
+The scalar p-axis data terms are computed outside the shard_map on the
+unpadded data.
 
 Semantics anchors: the FITC losses approximate likelihood.neglpost_full /
 neglpost_rep (reference lcgp.py:635-666 and lcgp.py:554-630); the Woodbury
@@ -33,7 +42,8 @@ from ..models.likelihood import RepData
 from ..models.sparse import KMM_JITTER, FitcAux
 from ..ops import linalg
 from ..ops.gram import gram_stack
-from .nshard import AXIS, _pad_to
+from .nshard import (AXIS, _n_size, _pad_q, _pad_q_params, _pad_to, _q_pad,
+                     _qax)
 
 
 def _woodbury_block(xblk, mblk, lam, b, z, lLmb, lLmb0, lnug, *,
@@ -88,9 +98,12 @@ def _woodbury_block(xblk, mblk, lam, b, z, lLmb, lLmb0, lnug, *,
 
 
 def _full_fitc_local(xblk, mblk, ysblk, z, lLmb, lLmb0, lnug, lsig, phi, D,
-                     *, n, kernel, compute_dtype):
-    """Per-device full-data FITC loss (likelihood.neglpost_full semantics,
-    reference lcgp.py:635-666): all O(n) objects stay sharded."""
+                     *, kernel, compute_dtype):
+    """Per-device full-data FITC Woodbury terms (likelihood.neglpost_full
+    semantics, reference lcgp.py:635-666): all O(n) objects stay sharded.
+    Returns per-component (quad, ld) — both 'n'-replicated; the q axis
+    maps onto 'comp' when the mesh has one (no cross-component coupling).
+    The p-axis data terms live outside the shard_map."""
     sigma = jnp.exp(lsig)
     ysblk = ysblk * mblk[None, :].astype(ysblk.dtype)
     psi_c = phi / jnp.sqrt(sigma)[:, None]
@@ -98,48 +111,31 @@ def _full_fitc_local(xblk, mblk, ysblk, z, lLmb, lLmb0, lnug, lsig, phi, D,
     lam = jnp.broadcast_to((1.0 / D)[:, None], a.shape)
     quad, ld, _ = _woodbury_block(xblk, mblk, lam, a, z, lLmb, lLmb0, lnug,
                                   kernel=kernel, compute_dtype=compute_dtype)
-    terms = 0.5 * (n * jnp.log(D.astype(ld.dtype)) + ld) - 0.5 * quad
-    nlp = jnp.sum(terms).astype(ysblk.dtype)
-    nlp += 0.5 * n * jnp.sum(lsig)
-    nlp += 0.5 * lax.psum(
-        jnp.sum(jnp.square(ysblk / jnp.sqrt(sigma)[:, None])), AXIS)
-    return nlp
+    return quad, ld
 
 
 def _rep_fitc_local(xblk, mblk, ybarblk, rblk, z, lLmb, lLmb0, lnug, lsig,
-                    scale, phi, D, *, n, kernel, compute_dtype):
-    """Per-device replication FITC loss (likelihood.neglpost_rep semantics,
-    reference lcgp.py:554-630).  Padding rows carry r=1 so log r and the
-    data terms vanish under the mask."""
+                    scale, phi, D, *, kernel, compute_dtype):
+    """Per-device replication FITC Woodbury terms (likelihood.neglpost_rep
+    semantics, reference lcgp.py:554-630).  Padding rows carry r=1 and
+    mask 0 so they contribute nothing to any psum.  Per-component
+    (quad, ld) out; the scalar data terms live outside the shard_map."""
     sigma_raw = jnp.exp(lsig)
-    p = ybarblk.shape[0]
     mb = mblk.astype(ybarblk.dtype)
     ybarblk = ybarblk * mb[None, :]
-
-    sigma_var_used = sigma_raw / jnp.square(scale)
     sigma_inv_sqrt = scale / jnp.sqrt(sigma_raw)
-
-    nlp = 0.5 * lax.psum(jnp.sum(rblk * jnp.sum(
-        jnp.square(ybarblk * sigma_inv_sqrt[:, None]), axis=0)), AXIS)
-    nlp += 0.5 * n * jnp.sum(jnp.log(sigma_var_used))
-    nlp += -0.5 * p * lax.psum(jnp.sum(jnp.log(rblk) * mb), AXIS)
-
     v = phi * sigma_inv_sqrt[:, None]
     b = rblk[None, :] * (ybarblk.T @ v).T                       # (q, nb)
     lam = 1.0 / (D[:, None] * rblk[None, :])
     quad, ld, _ = _woodbury_block(xblk, mblk, lam, b, z, lLmb, lLmb0, lnug,
                                   kernel=kernel, compute_dtype=compute_dtype)
-    terms = (0.5 * (n * jnp.log(D.astype(ld.dtype))
-                    + lax.psum(jnp.sum(jnp.log(rblk.astype(ld.dtype)) * mb
-                                       .astype(ld.dtype)), AXIS) + ld)
-             - 0.5 * quad)
-    nlp += jnp.sum(terms).astype(nlp.dtype)
-    return nlp / n
+    return quad, ld
 
 
 def _pad_inputs(data, mesh: Mesh):
-    """Pad the n axis to a mesh multiple; returns sharded-spec arrays."""
-    ndev = mesh.devices.size
+    """Pad the n axis to an n-submesh multiple; returns sharded-spec
+    arrays."""
+    ndev = _n_size(mesh)
     n = data.xs.shape[0]
     n_pad = -(-n // ndev) * ndev
     xs = _pad_to(data.xs, n_pad, axis=0, fill=0.5)
@@ -147,27 +143,52 @@ def _pad_inputs(data, mesh: Mesh):
     return xs, mask, n, n_pad
 
 
+def _pad_q_fitc(mesh, phi, D, lLmb, lLmb0, lnug):
+    """Pad the q axis for a ('comp','n') mesh: phi gains zero columns
+    (zero data weight for the padded components), D pads with 1.0, kernel
+    params edge-tile (well-posed Kmm).  Padded components' (quad, ld) are
+    sliced away by the callers."""
+    qp = _q_pad(mesh, phi.shape[1])
+    lLmb, lLmb0, lnug = _pad_q_params(mesh, lLmb, lLmb0, lnug)
+    if qp != phi.shape[1]:
+        phi = jnp.pad(phi, ((0, 0), (0, qp - phi.shape[1])))
+    D = _pad_q(D, qp, fill=1.0)
+    return phi, D, lLmb, lLmb0, lnug
+
+
 @partial(jax.jit, static_argnames=('mesh', 'compute_dtype', 'kernel'))
 def neglpost_full_fitc_nsharded(free: Pm.FreeParams, data, z, mesh: Mesh,
                                 compute_dtype=None,
                                 kernel: str = 'matern32'):
     """n-sharded FITC full-data loss — exact same estimator as
-    sparse.neglpost_full_fitc, panel rows distributed over the mesh."""
+    sparse.neglpost_full_fitc, panel rows distributed over the mesh
+    (('n',) or ('comp','n'): a comp axis also shards the q components)."""
     lLmb, lLmb0, lsig_g, lnug = Pm.constrain(free)
     lsig = Pm.expand_sigma(lsig_g, data.sigma_map)
     xs, mask, n, n_pad = _pad_inputs(data, mesh)
     ys = _pad_to(data.ys, n_pad, axis=1)
+    q = data.phi.shape[1]
+    phi, D, lLmb_p, lLmb0_p, lnug_p = _pad_q_fitc(
+        mesh, data.phi, data.diag_D, lLmb, lLmb0, lnug)
 
-    body = partial(_full_fitc_local, n=n, kernel=kernel,
+    qa = _qax(mesh)
+    body = partial(_full_fitc_local, kernel=kernel,
                    compute_dtype=compute_dtype)
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(None, None),
-                  P(None, None), P(None), P(None), P(None), P(None, None),
-                  P(None)),
-        out_specs=P())
-    return fn(xs, mask, ys, z, lLmb, lLmb0, lnug, lsig, data.phi,
-              data.diag_D)
+                  P(qa, None), P(qa), P(qa), P(None), P(None, qa),
+                  P(qa)),
+        out_specs=(P(qa), P(qa)))
+    quad, ld = fn(xs, mask, ys, z, lLmb_p, lLmb0_p, lnug_p, lsig, phi, D)
+    quad, ld = quad[:q], ld[:q]
+
+    Dlog = jnp.log(data.diag_D.astype(ld.dtype))
+    nlp = jnp.sum(0.5 * (n * Dlog + ld) - 0.5 * quad).astype(data.ys.dtype)
+    sigma = jnp.exp(lsig)
+    nlp += 0.5 * n * jnp.sum(lsig)
+    nlp += 0.5 * jnp.sum(jnp.square(data.ys / jnp.sqrt(sigma)[:, None]))
+    return nlp
 
 
 @partial(jax.jit, static_argnames=('mesh', 'compute_dtype', 'kernel'))
@@ -175,23 +196,45 @@ def neglpost_rep_fitc_nsharded(free: Pm.FreeParams, data: RepData, z,
                                mesh: Mesh, compute_dtype=None,
                                kernel: str = 'matern32'):
     """n-sharded FITC replication loss — exact same estimator as
-    sparse.neglpost_rep_fitc, panel rows distributed over the mesh."""
+    sparse.neglpost_rep_fitc, panel rows distributed over the mesh
+    (('n',) or ('comp','n'): a comp axis also shards the q components)."""
     lLmb, lLmb0, lsig_g, lnug = Pm.constrain(free)
     lsig = Pm.expand_sigma(lsig_g, data.sigma_map)
     xs, mask, n, n_pad = _pad_inputs(data, mesh)
     ybar = _pad_to(data.ybar, n_pad, axis=1)
     r = _pad_to(data.r, n_pad, axis=0, fill=1.0)
+    q = data.phi.shape[1]
+    phi, D, lLmb_p, lLmb0_p, lnug_p = _pad_q_fitc(
+        mesh, data.phi, data.diag_D, lLmb, lLmb0, lnug)
 
-    body = partial(_rep_fitc_local, n=n, kernel=kernel,
+    qa = _qax(mesh)
+    body = partial(_rep_fitc_local, kernel=kernel,
                    compute_dtype=compute_dtype)
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(AXIS),
-                  P(None, None), P(None, None), P(None), P(None), P(None),
-                  P(None), P(None, None), P(None)),
-        out_specs=P())
-    return fn(xs, mask, ybar, r, z, lLmb, lLmb0, lnug, lsig, data.scale,
-              data.phi, data.diag_D)
+                  P(None, None), P(qa, None), P(qa), P(qa), P(None),
+                  P(None), P(None, qa), P(qa)),
+        out_specs=(P(qa), P(qa)))
+    quad, ld = fn(xs, mask, ybar, r, z, lLmb_p, lLmb0_p, lnug_p, lsig,
+                  data.scale, phi, D)
+    quad, ld = quad[:q], ld[:q]
+
+    # scalar data terms (plain sums over the unpadded data, no sharding)
+    sigma_raw = jnp.exp(lsig)
+    p = data.ybar.shape[0]
+    sigma_var_used = sigma_raw / jnp.square(data.scale)
+    sigma_inv_sqrt = data.scale / jnp.sqrt(sigma_raw)
+    nlp = 0.5 * jnp.sum(data.r * jnp.sum(
+        jnp.square(data.ybar * sigma_inv_sqrt[:, None]), axis=0))
+    nlp += 0.5 * n * jnp.sum(jnp.log(sigma_var_used))
+    nlp += -0.5 * p * jnp.sum(jnp.log(data.r))
+
+    Dlog = jnp.log(data.diag_D.astype(ld.dtype))
+    sum_log_r = jnp.sum(jnp.log(data.r.astype(ld.dtype)))
+    terms = 0.5 * (n * Dlog + sum_log_r + ld) - 0.5 * quad
+    nlp += jnp.sum(terms).astype(nlp.dtype)
+    return nlp / n
 
 
 def make_loss(submethod: str, data, z, mesh: Mesh, compute_dtype=None,
@@ -253,18 +296,23 @@ def _aux_fitc_nsharded_jit(free, data, z, *, mesh, mode, compute_dtype,
         r = _pad_to(jnp.ones((n,), dtype=xs.dtype), n_pad, axis=0, fill=1.0)
         scale = jnp.ones((data.ys.shape[0],), dtype=xs.dtype)
 
+    q = data.phi.shape[1]
+    phi, D, lLmb, lLmb0, lnug = _pad_q_fitc(
+        mesh, data.phi, data.diag_D, lLmb, lLmb0, lnug)
+
+    qa = _qax(mesh)
     body = partial(_aux_fitc_local, mode=mode, kernel=kernel,
                    compute_dtype=compute_dtype)
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(None, AXIS), P(AXIS),
-                  P(None, None), P(None, None), P(None), P(None), P(None),
-                  P(None), P(None, None), P(None)),
-        out_specs=(P(None, None, None), P(None, None),
-                   P(None, None, None), P(None, AXIS)))
+                  P(None, None), P(qa, None), P(qa), P(qa), P(None),
+                  P(None), P(None, qa), P(qa)),
+        out_specs=(P(qa, None, None), P(qa, None),
+                   P(qa, None, None), P(qa, AXIS)))
     Lmm, alpha, inner, u = fn(xs, mask, yd, r, z, lLmb, lLmb0, lnug, lsig,
-                              scale, data.phi, data.diag_D)
-    return Lmm, alpha, inner, u[:, :n]
+                              scale, phi, D)
+    return Lmm[:q], alpha[:q], inner[:q], u[:q, :n]
 
 
 def compute_aux_fitc_nsharded(free: Pm.FreeParams, data, z, mode: str,

@@ -373,15 +373,24 @@ class TestNCMesh:
         yp_ref = np.asarray(single.predict(x0)[0])
         np.testing.assert_allclose(yp, yp_ref, rtol=1e-8, atol=1e-10)
 
-    def test_fitc_comp_mesh_rejected(self):
+    def test_fitc_comp_mesh_parity(self):
+        """FITC losses/aux also shard q over 'comp' (parallel/fitc_shard):
+        end-to-end fit+predict on the 2-D mesh matches the single-device
+        FITC model at the fitted parameters."""
         from lcgp_tpu import LCGP
         rng = np.random.default_rng(8)
         x = rng.uniform(0, 1, (24, 2))
         y = rng.standard_normal((4, 24))
-        model = LCGP(y=y, x=x, q=2, inducing=8)
         mesh = nshard.make_nc_mesh(2, 4)
-        with pytest.raises(ValueError, match="'n',.. mesh only|FITC"):
-            model.fit(mesh=mesh, method='adam', steps=2)
+        model = LCGP(y=y, x=x, q=3, inducing=8)   # q=3 % comp=2 != 0
+        model.fit(mesh=mesh, method='adam', steps=4, learning_rate=1e-2)
+        x0 = rng.uniform(0, 1, (5, 2))
+        yp = np.asarray(model.predict(x0)[0])
+        single = LCGP(y=y, x=x, q=3, inducing=8)
+        single._free, single._z = model._free, model._z
+        single._params_version += 1
+        yp_ref = np.asarray(single.predict(x0)[0])
+        np.testing.assert_allclose(yp, yp_ref, rtol=1e-8, atol=1e-10)
 
     def test_fast_dtype_parity(self):
         """f32 compute on the 2-D mesh matches the single-device f32 loss
