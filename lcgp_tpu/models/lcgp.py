@@ -482,12 +482,12 @@ class LCGP:
         distributed factorization's sequential panel loop short at large
         device counts (both the exact and FITC paths)."""
         if mesh is not None:
-            names = tuple(mesh.axis_names)
-            if names not in (('n',), ('comp', 'n')):
+            from ..parallel import nshard
+            if not nshard.is_n_mesh(mesh):
                 raise ValueError(
                     f"set_mesh needs an ('n',) or ('comp','n') mesh "
                     f"(parallel.nshard.make_n_mesh / make_nc_mesh); got "
-                    f"axis names {names!r}")
+                    f"axis names {tuple(mesh.axis_names)!r}")
         # Inducing-point (FITC) models shard too: the (q, n, m) Woodbury
         # panel is n-bounded in memory, and parallel/fitc_shard distributes
         # its rows exactly (loss/aux identical up to float reordering).
@@ -646,8 +646,9 @@ class LCGP:
 
         mesh = kwargs.pop('mesh', None)
         if mesh is not None:
+            from ..parallel import nshard
             axes = tuple(mesh.axis_names)
-            if axes in (('n',), ('comp', 'n')):
+            if nshard.is_n_mesh(mesh):
                 # n-axis distributed path: loss/grad via the blocked
                 # distributed Cholesky (parallel/nshard.py); callbacks
                 # (incl. checkpointing) work — the optimizer loop is the
@@ -959,18 +960,21 @@ class LCGP:
         if hasattr(aux, 'CinvM'):
             return aux.CinvM
         if self._is_nshard_aux(aux):
-            # distributed dual weights: trim the mesh padding (gathers)
-            return aux.u[:, :int(self.n)]
+            # distributed dual weights: trim the mesh padding (gathers).
+            # Both axes can be padded — n to the n-axis size, q to the
+            # comp-axis size on a ('comp','n') mesh (neutral components).
+            return aux.u[:int(self.q), :int(self.n)]
         return aux.u          # FITC aux stores the dual weights as ``u``
 
     def _dense_factor(self, aux):
         """The (q, n, n) Cholesky factor regardless of execution mode.
         For n-sharded aux this gathers and trims the padding — the
         leading principal block of the padded factor IS the unpadded
-        factor (pad rows are decoupled identity rows)."""
+        factor (pad rows are decoupled identity rows), and padded
+        components (comp-mesh q padding) are trailing and sliced away."""
         if self._is_nshard_aux(aux):
             n = int(self.n)
-            return aux.L[:, :n, :n]
+            return aux.L[:int(self.q), :n, :n]
         return aux.LB if hasattr(aux, 'LB') else aux.LT
 
     @property

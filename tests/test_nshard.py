@@ -392,6 +392,41 @@ class TestNCMesh:
         yp_ref = np.asarray(single.predict(x0)[0])
         np.testing.assert_allclose(yp, yp_ref, rtol=1e-8, atol=1e-10)
 
+    @pytest.mark.parametrize('kind', ['full', 'rep'])
+    def test_parity_accessors_trim_q_padding(self, kind):
+        """CinvMs/LBs/LTs/Ths/Tks on a ('comp','n') mesh with q % comp != 0
+        must trim the neutral-component q padding (regression: the aux
+        carries qp = ceil(q/comp)*comp components; accessors once returned
+        the padded rows, and Ths crashed on the diag_D broadcast)."""
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(11)
+        n, p, q = 24, 6, 3
+        x = rng.uniform(0, 1, (n, 2))
+        if kind == 'full':
+            y = rng.standard_normal((p, n))
+            model = LCGP(y=y, x=x, q=q)
+            single = LCGP(y=y, x=x, q=q)
+        else:
+            xr = np.repeat(x, 2, axis=0)
+            yr = rng.standard_normal((p, 2 * n))
+            model = LCGP(y=yr, x=xr, q=q, submethod='rep')
+            single = LCGP(y=yr, x=xr, q=q, submethod='rep')
+        model.set_mesh(nshard.make_nc_mesh(2, 4))
+        assert model.CinvMs.shape == (q, n)
+        np.testing.assert_allclose(np.asarray(model.CinvMs),
+                                   np.asarray(single.CinvMs),
+                                   rtol=1e-9, atol=1e-12)
+        if kind == 'full':
+            assert model.LBs.shape == (q, n, n)
+            np.testing.assert_allclose(np.asarray(model.Ths),
+                                       np.asarray(single.Ths),
+                                       rtol=1e-7, atol=1e-9)
+        else:
+            assert model.LTs.shape == (q, n, n)
+            np.testing.assert_allclose(np.asarray(model.Tks),
+                                       np.asarray(single.Tks),
+                                       rtol=1e-8, atol=1e-10)
+
     def test_fast_dtype_parity(self):
         """f32 compute on the 2-D mesh matches the single-device f32 loss
         to f32-grade tolerance."""
