@@ -19,6 +19,12 @@ API:
        -> {"ypred": [[p x n0]], "ypredvar": ..., "yconfvar": ...}
   POST /predict {"x": ..., "fullcov": true}
        -> adds "yfullcov" (n0 x p x p); submethod='full' models only
+  POST /reload  {"path": "new_model.npz"}
+       -> hot-swap the served model with zero downtime; when the new
+          model's config and shapes match (the periodic-refit pattern)
+          the compiled executable is reused, so the swap costs one
+          dispatch, not a recompile.  Replies with
+          {"reused_executable": ..., "warmup_secs": ..., ...info}.
 
 Usage:
   python -m lcgp_tpu.serve model.npz --port 8080 --batch-size 256
@@ -59,7 +65,15 @@ class PredictServer:
             self.model = model_or_path
         self.batch_size = int(batch_size)
         self._httpd = None
-        self._fn = self._build_fused()
+        self._reload_lock = threading.Lock()
+        self._reload_count = 0
+        self._sig = self._static_sig(self.model)
+        self._state = self._extract_state(self.model)
+        self._fn = self._build_fused(self.model)
+        # (fn, state) as ONE tuple: readers grab both in a single atomic
+        # attribute read, so a concurrent reload can never pair a new fn
+        # with an old state or vice versa.
+        self._live = (self._fn, self._state)
         self._fn_fullcov = None                  # built on first use
         self._fullcov_lock = threading.Lock()
         self._queue: queue_mod.Queue = queue_mod.Queue()
@@ -69,7 +83,74 @@ class PredictServer:
         if warmup:
             self.warmup()
 
-    def _build_fused(self):
+    @staticmethod
+    def _static_sig(model):
+        """Trace-relevant model config: two models with equal signatures
+        share one fused function (and, with equal state shapes, one
+        compiled executable)."""
+        return (model.submethod, model.kernel, str(model._compute_dtype),
+                float(model._jitter), model.q_chunk, model._z is not None,
+                model._n_mesh, bool(model.rep_standardize_ybar))
+
+    @staticmethod
+    def _extract_state(model):
+        """Everything the fused executable consumes as device arrays — the
+        hot-reloadable part.  A refit (or a refit on same-shape new data)
+        changes only this pytree, so swapping it reuses the compiled
+        executable with zero recompilation."""
+        import jax.numpy as jnp
+
+        st = dict(free=model._free, data=model._data,
+                  aux=model._ensure_aux(),
+                  x_min=model.x_min, x_max=model.x_max)
+        if model._z is not None:
+            st['z'] = model._z
+        if model.submethod == 'rep':
+            if model.rep_standardize_ybar:
+                st['mean'], st['std'] = model.ybar_mean, model.ybar_std
+            else:
+                st['mean'] = jnp.zeros_like(model.ybar_mean)
+                st['std'] = jnp.ones_like(model.ybar_std)
+        else:
+            st['mean'], st['std'] = model.ymean, model.ystd
+        return st
+
+    def _latent_core(self, model):
+        """The pure latent-predict core for the model's static config —
+        state-parametric counterpart of ``LCGP._latent_predict``."""
+        import jax.numpy as jnp
+        from .models import predict as pred
+
+        cdtype, jitter = model._compute_dtype, model._jitter
+        kernel, q_chunk = model.kernel, model.q_chunk
+        mesh = model._n_mesh
+        if model._z is not None:
+            from .models import sparse
+
+            def core(st, x0s):
+                ghat, gvar = sparse.predict_fitc_core(
+                    st['free'], st['data'], st['aux'], st['z'], x0s,
+                    compute_dtype=cdtype, kernel=kernel)
+                return ghat, jnp.maximum(gvar, 0.0)
+            return core
+        if mesh is not None:
+            from .parallel import nshard
+
+            def core(st, x0s):
+                return nshard.predict_nsharded_core(
+                    st['free'], st['data'], st['aux'], x0s, mesh,
+                    compute_dtype=cdtype, jitter=jitter, kernel=kernel)
+            return core
+        fn = (pred.predict_rep_core if model.submethod == 'rep'
+              else pred.predict_full_core)
+
+        def core(st, x0s):
+            return fn(st['free'], st['data'], st['aux'], x0s,
+                      compute_dtype=cdtype, jitter=jitter, kernel=kernel,
+                      q_chunk=q_chunk)
+        return core
+
+    def _build_fused(self, model):
         """One jitted end-to-end predict executable at the fixed batch shape.
 
         Driving model.predict per request costs ~8 separate device
@@ -77,30 +158,83 @@ class PredictServer:
         own) — ~2 s/request on a tunneled backend.  Tracing the whole
         path into a single jit makes a warm request one dispatch; padding
         and unpadding happen host-side in NumPy.
+
+        The model state (params, data, aux, standardization) enters as an
+        ARGUMENT pytree, not as closed-over constants: ``reload`` swaps
+        the state without touching the executable, so a parameter-only
+        model update (the periodic-refit serving pattern) costs zero
+        recompilation and zero downtime.
         """
         import jax
 
-        model = self.model
-        aux = model._ensure_aux()
-        free, data = model._free, model._data
-
-        import jax.numpy as jnp
         from .models import predict as pred
 
-        def fused(x0):
-            x0s = (x0 - model.x_min) / (model.x_max - model.x_min)
-            ghat, gvar = model._latent_predict(aux, x0s)
-            if model.submethod == 'rep':
-                if model.rep_standardize_ybar:
-                    mean, std = model.ybar_mean, model.ybar_std
-                else:
-                    mean = jnp.zeros_like(model.ybar_mean)
-                    std = jnp.ones_like(model.ybar_std)
-                return pred.recombine_rep(free, data, ghat, gvar, mean, std)
-            return pred.recombine_full(free, data, ghat, gvar,
-                                       model.ymean, model.ystd)
+        latent = self._latent_core(model)
+        rec = (pred.recombine_rep if model.submethod == 'rep'
+               else pred.recombine_full)
+
+        def fused(state, x0):
+            x0s = (x0 - state['x_min']) / (state['x_max'] - state['x_min'])
+            ghat, gvar = latent(state, x0s)
+            return rec(state['free'], state['data'], ghat, gvar,
+                       state['mean'], state['std'])
 
         return jax.jit(fused)
+
+    def reload(self, model_or_path):
+        """Hot-swap the served model with zero downtime.
+
+        Loads the new model (path or LCGP instance), compiles/warms its
+        predict OFF the serving path, then atomically swaps the state the
+        dispatcher reads.  In-flight requests finish on the old model;
+        requests dispatched after the swap see the new one.
+
+        When the new model's static config matches (submethod, kernel,
+        precision, q_chunk, FITC/mesh mode) and its state shapes equal
+        the old state's — the common refit-on-new-data case — the
+        existing compiled executable is reused outright.  Returns a dict:
+        ``{'reused_executable': bool, 'warmup_secs': float, ...info}``.
+        """
+        import jax
+
+        from .models.lcgp import LCGP
+
+        if isinstance(model_or_path, (str, bytes)) or hasattr(
+                model_or_path, '__fspath__'):
+            new_model = LCGP.load(model_or_path)
+        else:
+            new_model = model_or_path
+        if int(new_model.d) != int(self.model.d):
+            raise ValueError(
+                f'reload d mismatch: serving d={int(self.model.d)}, new '
+                f'model d={int(new_model.d)} — clients post (n0, d) inputs')
+
+        with self._reload_lock:
+            new_sig = self._static_sig(new_model)
+            new_state = self._extract_state(new_model)
+            same_shape = (new_sig == self._sig and
+                          jax.tree.structure(new_state) ==
+                          jax.tree.structure(self._state) and
+                          all(a.shape == b.shape and a.dtype == b.dtype
+                              for a, b in zip(jax.tree.leaves(new_state),
+                                              jax.tree.leaves(self._state))))
+            fn = self._fn if new_sig == self._sig else \
+                self._build_fused(new_model)
+            # Warm (compile if needed) off the serving path: the dispatcher
+            # keeps answering from the old state until the swap below.
+            x0 = np.full((self.batch_size, int(new_model.d)), 0.5)
+            t0 = time.time()
+            jax.block_until_ready(fn(new_state, x0))
+            warm = time.time() - t0
+            # Atomic swap (the dispatcher reads self._live once per
+            # dispatch; everything else is bookkeeping).
+            self.model, self._state, self._fn, self._sig = \
+                new_model, new_state, fn, new_sig
+            self._live = (fn, new_state)
+            self._fn_fullcov = None     # rebuilt on next fullcov request
+            self._reload_count += 1
+        return dict(reused_executable=bool(same_shape),
+                    warmup_secs=round(warm, 3), **self.info())
 
     def warmup(self):
         """Compile the fused fixed-batch predict before the first request."""
@@ -150,8 +284,10 @@ class PredictServer:
             raise ValueError(
                 f'expected (n0, {int(self.model.d)}) inputs, got {x0.shape}')
         with self._fullcov_lock:
-            if self._fn_fullcov is None:
-                self._fn_fullcov = self._build_fused_fullcov()
+            with self._reload_lock:     # pair fn_fullcov with its state
+                if self._fn_fullcov is None:
+                    self._fn_fullcov = self._build_fused_fullcov(self.model)
+                fn, state = self._fn_fullcov, self._state
             bs = self.batch_size
             outs = []
             for s in range(0, x0.shape[0], bs):
@@ -160,27 +296,28 @@ class PredictServer:
                 if k < bs:
                     blk = np.concatenate(
                         [blk, np.repeat(blk[-1:], bs - k, axis=0)])
-                res = [np.asarray(o) for o in self._fn_fullcov(blk)]
+                res = [np.asarray(o) for o in fn(state, blk)]
                 outs.append((res[0][:, :k], res[1][:, :k], res[2][:, :k],
                              res[3][:k]))
         return tuple(np.concatenate([o[i] for o in outs],
                                     axis=1 if i < 3 else 0)
                      for i in range(4))
 
-    def _build_fused_fullcov(self):
+    def _build_fused_fullcov(self, model):
         import jax
 
-        model = self.model
-        aux = model._ensure_aux()
-        free, data = model._free, model._data
         from .models import predict as pred
 
-        def fused(x0):
-            x0s = (x0 - model.x_min) / (model.x_max - model.x_min)
-            ghat, gvar = model._latent_predict(aux, x0s)
-            yp, ypv, ycv = pred.recombine_full(free, data, ghat, gvar,
-                                               model.ymean, model.ystd)
-            cov = pred.fullcov_full(free, data, gvar, model.ystd)
+        latent = self._latent_core(model)
+
+        def fused(state, x0):
+            x0s = (x0 - state['x_min']) / (state['x_max'] - state['x_min'])
+            ghat, gvar = latent(state, x0s)
+            yp, ypv, ycv = pred.recombine_full(state['free'], state['data'],
+                                               ghat, gvar,
+                                               state['mean'], state['std'])
+            cov = pred.fullcov_full(state['free'], state['data'], gvar,
+                                    state['std'])
             return yp, ypv, ycv, cov
 
         return jax.jit(fused)
@@ -214,7 +351,8 @@ class PredictServer:
                 if pad:
                     batch = np.concatenate(
                         [batch, np.repeat(batch[-1:], pad, axis=0)])
-                res = [np.asarray(o) for o in self._fn(batch)]
+                fn, state = self._live      # one atomic pair read
+                res = [np.asarray(o) for o in fn(state, batch)]
                 ofs = 0
                 for c in group:
                     k = c.x0.shape[0]
@@ -232,7 +370,8 @@ class PredictServer:
                     d=int(m.d), p=int(m.p), q=int(m.q),
                     precision=m.precision, kernel=m.kernel,
                     inducing=None if m._z is None else int(m._z.shape[0]),
-                    batch_size=self.batch_size)
+                    batch_size=self.batch_size,
+                    reload_count=self._reload_count)
 
     # -- HTTP ----------------------------------------------------------
     def _make_handler(server):
@@ -257,6 +396,15 @@ class PredictServer:
                     self._reply(404, {'error': 'not found'})
 
             def do_POST(self):
+                if self.path == '/reload':
+                    try:
+                        length = int(self.headers.get('Content-Length', 0))
+                        req = json.loads(self.rfile.read(length) or b'{}')
+                        self._reply(200, server.reload(req['path']))
+                    except (KeyError, ValueError, TypeError,
+                            FileNotFoundError) as e:
+                        self._reply(400, {'error': str(e)})
+                    return
                 if self.path != '/predict':
                     self._reply(404, {'error': 'not found'})
                     return

@@ -75,6 +75,108 @@ class TestPredictServer:
             srv.shutdown()
 
 
+class TestHotReload:
+    def test_param_swap_reuses_executable(self, fitted_model):
+        """Same config + shapes (the periodic-refit pattern): reload must
+        reuse the compiled executable and serve the new model's values."""
+        srv = PredictServer(fitted_model, batch_size=16, warmup=True)
+        x0 = np.linspace(0, 1, 20)[:, None]
+        yp_old = srv.predict(x0)[0]
+
+        xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=21)
+        m2 = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+        m2.fit(method='adam', steps=20, learning_rate=1e-2)
+        out = srv.reload(m2)
+        assert out['reused_executable'] is True
+        assert out['reload_count'] == 1
+        yp_new = srv.predict(x0)[0]
+        yp_ref = np.asarray(m2.predict(x0)[0])
+        np.testing.assert_allclose(yp_new, yp_ref, rtol=1e-10)
+        assert not np.allclose(yp_new, yp_old)
+        srv.shutdown()
+
+    def test_shape_change_recompiles(self, fitted_model):
+        """New model with different n (shape change): reload still works,
+        reports the executable was NOT reused."""
+        srv = PredictServer(fitted_model, batch_size=8, warmup=False)
+        xtr, ytr, _, _ = datasets.make_rep_data_1d(n_unique=9, seed=5)
+        m2 = LCGP(y=ytr, x=xtr, q=2, submethod='rep')
+        out = srv.reload(m2)
+        assert out['reused_executable'] is False
+        x0 = np.linspace(0, 1, 7)[:, None]
+        np.testing.assert_allclose(srv.predict(x0)[0],
+                                   np.asarray(m2.predict(x0)[0]),
+                                   rtol=1e-10)
+        srv.shutdown()
+
+    def test_submethod_change_rebuilds(self, fitted_model):
+        """Static-config change (rep -> full): fused fn is rebuilt."""
+        srv = PredictServer(fitted_model, batch_size=8, warmup=False)
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 1, (20, 1))
+        y = rng.standard_normal((3, 20))
+        m2 = LCGP(y=y, x=x, q=2)
+        out = srv.reload(m2)
+        assert out['reused_executable'] is False
+        assert out['submethod'] == 'full'
+        x0 = np.linspace(0, 1, 5)[:, None]
+        np.testing.assert_allclose(srv.predict(x0)[0],
+                                   np.asarray(m2.predict(x0)[0]),
+                                   rtol=1e-10)
+        # fullcov was invalidated and rebuilt against the new (full) model
+        cov = srv.predict_fullcov(x0)[3]
+        ref = np.asarray(m2.predict(x0, return_fullcov=True)[3])
+        np.testing.assert_allclose(cov, ref, rtol=1e-8, atol=1e-12)
+        srv.shutdown()
+
+    def test_d_mismatch_rejected(self, fitted_model):
+        srv = PredictServer(fitted_model, batch_size=8, warmup=False)
+        rng = np.random.default_rng(4)
+        m2 = LCGP(y=rng.standard_normal((3, 15)),
+                  x=rng.uniform(0, 1, (15, 2)), q=2)
+        with pytest.raises(ValueError, match='d mismatch'):
+            srv.reload(m2)
+        srv.shutdown()
+
+    def test_http_reload(self, fitted_model, tmp_path):
+        """POST /reload with a saved-model path swaps the served model."""
+        srv = PredictServer(fitted_model, batch_size=8, warmup=False)
+        httpd, _ = srv.serve(port=0, background=True)
+        port = httpd.server_address[1]
+        base = f'http://127.0.0.1:{port}'
+        try:
+            xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=21)
+            m2 = LCGP(y=ytr, x=xtr, q=3, submethod='rep')
+            m2.fit(method='adam', steps=10, learning_rate=1e-2)
+            path = tmp_path / 'm2.npz'
+            m2.save(path)
+            req = urllib.request.Request(
+                base + '/reload',
+                data=json.dumps({'path': str(path)}).encode(),
+                headers={'Content-Type': 'application/json'})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out = json.load(r)
+            assert out['reused_executable'] is True
+            x0 = np.linspace(0, 1, 6)[:, None]
+            req = urllib.request.Request(
+                base + '/predict',
+                data=json.dumps({'x': x0.tolist()}).encode(),
+                headers={'Content-Type': 'application/json'})
+            with urllib.request.urlopen(req, timeout=60) as r:
+                got = np.asarray(json.load(r)['ypred'])
+            np.testing.assert_allclose(got, np.asarray(m2.predict(x0)[0]),
+                                       rtol=1e-8)
+            # bad reload -> 400
+            bad = urllib.request.Request(
+                base + '/reload', data=b'{"path": "/nonexistent.npz"}',
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=30)
+            assert ei.value.code == 400
+        finally:
+            srv.shutdown()
+
+
 class TestMicrobatching:
     def test_concurrent_clients_match_model_predict(self, tmp_path):
         """8 threads, request sizes 1..127: every response must equal the
