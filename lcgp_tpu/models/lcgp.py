@@ -57,7 +57,8 @@ class LCGP:
                  precision: str = 'high',
                  q_chunk: Optional[int] = None,
                  kernel: str = 'matern32',
-                 inducing=None):
+                 inducing=None,
+                 n_chunk: Optional[int] = None):
         if y is None or x is None:
             raise ValueError('LCGP requires both y (p, n) and x (n, d).')
 
@@ -217,6 +218,19 @@ class LCGP:
                 z = (z - np.asarray(self.x_min)) / \
                     (np.asarray(self.x_max) - np.asarray(self.x_min))
             self._z = jnp.asarray(z)
+
+        # FITC n-axis streaming (models/sparse._fitc_stream): None = auto
+        # (chunk when the (q, n, m) panel outgrows the backward's HBM
+        # share), int = block size, 0/negative = force un-chunked.
+        self._n_chunk_arg = n_chunk
+        self.n_chunk = None
+        if self._z is not None:
+            if n_chunk is None:
+                self.n_chunk = self._auto_n_chunk(
+                    int(self.q), int(self.n), int(self._z.shape[0]),
+                    self.precision)
+            elif n_chunk > 0:
+                self.n_chunk = int(n_chunk)
 
     # ------------------------------------------------------------------
     # Data containers for the functional core
@@ -437,7 +451,8 @@ class LCGP:
             from . import sparse
             return sparse.neglpost_full_fitc(
                 self._free, self._data, self._z,
-                compute_dtype=self._compute_dtype, kernel=self.kernel)
+                compute_dtype=self._compute_dtype, kernel=self.kernel,
+                n_chunk=self.n_chunk)
         if self._n_mesh is not None:
             from ..parallel import nshard
             return nshard.neglpost_full_nsharded(
@@ -459,7 +474,8 @@ class LCGP:
             from . import sparse
             return sparse.neglpost_rep_fitc(
                 self._free, self._data, self._z,
-                compute_dtype=self._compute_dtype, kernel=self.kernel)
+                compute_dtype=self._compute_dtype, kernel=self.kernel,
+                n_chunk=self.n_chunk)
         if self._n_mesh is not None:
             from ..parallel import nshard
             return nshard.neglpost_rep_nsharded(
@@ -552,7 +568,8 @@ class LCGP:
                     else sparse.neglpost_full_fitc)
             return lambda free: fitc(free, self._data, self._z,
                                      compute_dtype=compute_dtype,
-                                     kernel=self.kernel)
+                                     kernel=self.kernel,
+                                     n_chunk=self.n_chunk)
         return lik.make_loss(self.submethod, self._data,
                              compute_dtype=compute_dtype,
                              jitter=jitter, q_chunk=self.q_chunk,
@@ -590,6 +607,24 @@ class LCGP:
             if q % qc == 0 and peak(qc) <= cls._HBM_BUDGET_BYTES:
                 return qc
         return 1
+
+    @classmethod
+    def _auto_n_chunk(cls, q: int, n: int, m: int, precision: str):
+        """Pick the FITC n-axis block size (models/sparse._fitc_stream).
+
+        The un-chunked FITC backward holds ~4 (q, n, m) panels live
+        (measured OOM: n=500k, m=512, q=4 f32 needs 16.05 GB on a
+        15.75 GB chip), so chunk once 4 panels outgrow the HBM budget;
+        the streamed block is sized to a ~256 MB working set — large
+        enough to keep the MXU GEMM-bound, small enough that the scan's
+        rematerialized backward stays a rounding error in HBM."""
+        itemsize = 4 if precision == 'fast' else 8
+        if 4 * q * n * m * itemsize <= cls._HBM_BUDGET_BYTES:
+            return None                       # un-chunked backward fits
+        per_point = q * m * itemsize
+        block = max(4096, int(2 ** np.floor(
+            np.log2(256 * 2**20 / per_point))))
+        return min(block, n)
 
     def fit(self, verbose: bool = False, method: str = 'auto', **kwargs):
         """Optimize hyperparameters.
@@ -852,8 +887,12 @@ class LCGP:
                           compute_dtype=compute_dtype, kernel=kernel)
         else:
             from . import sparse
-            fitc = (sparse.neglpost_rep_fitc if self.submethod == 'rep'
-                    else sparse.neglpost_full_fitc)
+            _fn = (sparse.neglpost_rep_fitc if self.submethod == 'rep'
+                   else sparse.neglpost_full_fitc)
+
+            def fitc(free, data, z, compute_dtype=None, kernel='matern32'):
+                return _fn(free, data, z, compute_dtype=compute_dtype,
+                           kernel=kernel, n_chunk=self.n_chunk)
 
         if joint:
             def loss(tree):
@@ -919,7 +958,8 @@ class LCGP:
                 from . import sparse
                 self._aux = sparse.compute_aux_fitc(
                     self._free, self._data, self._z, self.submethod,
-                    compute_dtype=aux_dtype, kernel=self.kernel)
+                    compute_dtype=aux_dtype, kernel=self.kernel,
+                    n_chunk=self.n_chunk)
             elif self._n_mesh is not None:
                 from ..parallel import nshard
                 self._aux = nshard.compute_aux_nsharded(
@@ -1191,7 +1231,7 @@ class LCGP:
                    robust_mean=self.robust_mean, submethod=self.submethod,
                    rep_standardize_ybar=self.rep_standardize_ybar,
                    precision=self.precision, kernel=self.kernel,
-                   q_chunk=self.q_chunk)
+                   q_chunk=self.q_chunk, n_chunk=self._n_chunk_arg)
         extra = {}
         if self._z is not None:
             extra['inducing_z_std'] = np.asarray(self._z)
@@ -1228,5 +1268,14 @@ class LCGP:
                                    jnp.asarray(z['free_lnugGPs']))
         if 'inducing_z_std' in z:
             model._z = jnp.asarray(z['inducing_z_std'])
+            # the ctor resolved n_chunk with _z unset; redo now that the
+            # inducing set (and so the (q, n, m) panel size) is known
+            model._n_chunk_arg = cfg.get('n_chunk')
+            if model._n_chunk_arg is None:
+                model.n_chunk = model._auto_n_chunk(
+                    int(model.q), int(model.n), int(model._z.shape[0]),
+                    model.precision)
+            elif model._n_chunk_arg > 0:
+                model.n_chunk = int(model._n_chunk_arg)
         model._params_version += 1
         return model

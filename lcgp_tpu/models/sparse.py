@@ -137,9 +137,127 @@ def _fitc_terms(core: FitcCore, lam, b):
     return u, quad, _fitc_logdet(core)
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "kernel"))
+class FitcStream(NamedTuple):
+    """Accumulated Woodbury state from one streaming pass over n-blocks.
+
+    Everything n-sized has been reduced away: only (q, m, m)/(q, m)/(q,)
+    accumulators remain, so the resident memory is O(q m^2) + one block's
+    (q, n_chunk, m) working set regardless of n.
+    """
+    Lmm: jnp.ndarray      # (q, m, m) compute-dtype chol of Kmm + jitter
+    LM: jnp.ndarray       # (q, m, m) f64 chol(I + G)
+    G: jnp.ndarray        # (q, m, m) f64  W^T Lam~^{-1} W
+    t: jnp.ndarray        # (q, m)  f64  W^T (Lam b / Lam~)
+    s: jnp.ndarray        # (q, m)  f64  M^{-1} t
+    quad: jnp.ndarray     # (q,)    f64  b^T C_hat u
+    ld: jnp.ndarray       # (q,)    f64  logdet(C_hat + Lam)
+
+
+def _pad_blocks(n, n_chunk):
+    """(n_blocks, pad) for splitting an n-axis into n_chunk-sized blocks."""
+    n_blocks = -(-n // n_chunk)
+    return n_blocks, n_blocks * n_chunk - n
+
+
+def _fitc_stream(xs, z, lLmb, lLmb0, lnug, lam, b, n_chunk, *,
+                 compute_dtype, kernel):
+    """Single-pass streaming (n-blocked) Woodbury accumulation.
+
+    The un-chunked core materializes the (q, n, m) W panel — and its
+    backward holds ~3 copies live (measured: n=500k, m=512, q=4 f32 OOMs
+    a 15.75 GB chip by 311 MB).  This version scans over n-blocks with a
+    rematerialized body: each block builds its Knm/W slice, updates the
+    O(q m^2) accumulators, and is recomputed (not stored) in the
+    backward, so n is bounded by the (q, n) inputs alone.
+
+    Key identity that makes ONE pass sufficient: with
+    u = (C_hat + Lam)^{-1} Lam b,
+
+        C_hat u = (C_hat + Lam) u - Lam u = Lam b - Lam u
+        quad = b^T C_hat u = b^T Lam b - b^T Lam u
+             = sum lam b^2 - sum (lam b)^2 / lam_t + t^T M^{-1} t
+
+    (expand u = Lam~^{-1}(Lam b) - Lam~^{-1} W M^{-1} t) — so the
+    quadratic term needs only the same accumulators as logdet and never a
+    second sweep to apply W to u.
+    """
+    Kmm64 = gram_stack(z, z, lLmb, lLmb0, lnug, same=False,
+                       compute_dtype=None, kind=kernel).astype(jnp.float64)
+    amp64 = lLmb0.astype(jnp.float64)
+    Lmm64 = linalg.cholesky(
+        linalg.add_diag(Kmm64, KMM_JITTER * amp64[:, None]))
+
+    q, n = lam.shape
+    m = z.shape[0]
+    n_blocks, pad = _pad_blocks(n, n_chunk)
+    # padded rows reuse xs[0] (finite Gram values) and are masked out of
+    # every accumulator by w
+    xs_p = jnp.concatenate(
+        [xs, jnp.broadcast_to(xs[:1], (pad,) + xs.shape[1:])]) \
+        if pad else xs
+    lam_p = jnp.concatenate(
+        [lam, jnp.ones((q, pad), lam.dtype)], axis=1) if pad else lam
+    b_p = jnp.concatenate(
+        [b, jnp.zeros((q, pad), b.dtype)], axis=1) if pad else b
+    w = jnp.concatenate([jnp.ones((n,)), jnp.zeros((pad,))]) \
+        if pad else jnp.ones((n,))
+
+    xs_blk = xs_p.reshape((n_blocks, n_chunk) + xs.shape[1:])
+    lam_blk = jnp.moveaxis(lam_p.reshape(q, n_blocks, n_chunk), 1, 0)
+    b_blk = jnp.moveaxis(b_p.reshape(q, n_blocks, n_chunk), 1, 0)
+    w_blk = w.reshape(n_blocks, n_chunk)
+
+    # probe the block dtype once (host-side, zero cost under jit)
+    probe = gram_stack(z[:1], z[:1], lLmb, lLmb0, lnug, same=False,
+                       compute_dtype=compute_dtype, kind=kernel)
+    dt = probe.dtype
+    Lmm = Lmm64.astype(dt)
+    amp = amp64.astype(dt)
+    f64 = jnp.float64
+
+    def body(carry, blk):
+        G, t, sumlog, acc_bb, acc_bu = carry
+        xs_b, lam_b, b_b, w_b = blk
+        Knm = gram_stack(xs_b, z, lLmb, lLmb0, lnug, same=False,
+                         compute_dtype=compute_dtype, kind=kernel)
+        W = jnp.swapaxes(
+            linalg.solve_tri_lower(Lmm, jnp.swapaxes(Knm, -1, -2)), -1, -2)
+        q_diag = jnp.sum(jnp.square(W), axis=-1)               # (q, nc)
+        c_diag = amp[:, None] * jnp.ones_like(q_diag)
+        lam_dt = lam_b.astype(dt)
+        lam_t = jnp.maximum(
+            lam_dt + jnp.maximum(c_diag - q_diag, 0.0),
+            jnp.asarray(1e-10, dtype=dt))
+        b_dt = b_b.astype(dt)
+        vi = lam_dt * b_dt / lam_t                             # (q, nc)
+        wq = w_b.astype(dt)[None, :]
+        G = G + jnp.einsum('qnm,qn,qnk->qmk', W, wq / lam_t, W).astype(f64)
+        t = t + jnp.einsum('qnm,qn->qm', W, wq * vi).astype(f64)
+        sumlog = sumlog + jnp.sum(
+            w_b * jnp.log(lam_t.astype(f64)), axis=-1)
+        acc_bb = acc_bb + jnp.sum(
+            (wq * lam_dt * b_dt * b_dt).astype(f64), axis=-1)
+        acc_bu = acc_bu + jnp.sum(
+            (wq * lam_dt * b_dt * vi).astype(f64), axis=-1)
+        return (G, t, sumlog, acc_bb, acc_bu), None
+
+    init = (jnp.zeros((q, m, m), f64), jnp.zeros((q, m), f64),
+            jnp.zeros((q,), f64), jnp.zeros((q,), f64),
+            jnp.zeros((q,), f64))
+    (G, t, sumlog, acc_bb, acc_bu), _ = jax.lax.scan(
+        jax.checkpoint(body), init, (xs_blk, lam_blk, b_blk, w_blk))
+
+    LM = linalg.cholesky(linalg.add_diag(G, 1.0))
+    s = linalg.cho_solve_vec(LM, t)
+    quad = acc_bb - acc_bu + jnp.sum(t * s, axis=-1)
+    ld = sumlog + linalg.chol_logdet(LM)
+    return FitcStream(Lmm=Lmm, LM=LM, G=G, t=t, s=s, quad=quad, ld=ld)
+
+
+@partial(jax.jit, static_argnames=("compute_dtype", "kernel", "n_chunk"))
 def neglpost_full_fitc(free: P.FreeParams, data: FullData, z,
-                       compute_dtype=None, kernel: str = "matern32"):
+                       compute_dtype=None, kernel: str = "matern32",
+                       n_chunk: int | None = None):
     """FITC approximation of the full-data loss (likelihood.neglpost_full
     semantics, reference lcgp.py:635-666) at O(q n m^2)."""
     lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
@@ -152,9 +270,14 @@ def neglpost_full_fitc(free: P.FreeParams, data: FullData, z,
 
     D = data.diag_D
     lam = jnp.broadcast_to((1.0 / D)[:, None], a.shape)        # (q, n)
-    core = _fitc_core(data.xs, z, lLmb, lLmb0, lnug, lam,
-                      compute_dtype=compute_dtype, kernel=kernel)
-    _, quad, ld = _fitc_terms(core, lam, a)
+    if n_chunk:
+        st = _fitc_stream(data.xs, z, lLmb, lLmb0, lnug, lam, a, n_chunk,
+                          compute_dtype=compute_dtype, kernel=kernel)
+        quad, ld = st.quad, st.ld
+    else:
+        core = _fitc_core(data.xs, z, lLmb, lLmb0, lnug, lam,
+                          compute_dtype=compute_dtype, kernel=kernel)
+        _, quad, ld = _fitc_terms(core, lam, a)
     # logdet(I + D C_hat) = n log D + logdet(C_hat + (1/D) I)
     terms = 0.5 * (n * jnp.log(D.astype(ld.dtype)) + ld) - 0.5 * quad
 
@@ -164,9 +287,10 @@ def neglpost_full_fitc(free: P.FreeParams, data: FullData, z,
     return nlp
 
 
-@partial(jax.jit, static_argnames=("compute_dtype", "kernel"))
+@partial(jax.jit, static_argnames=("compute_dtype", "kernel", "n_chunk"))
 def neglpost_rep_fitc(free: P.FreeParams, data: RepData, z,
-                      compute_dtype=None, kernel: str = "matern32"):
+                      compute_dtype=None, kernel: str = "matern32",
+                      n_chunk: int | None = None):
     """FITC approximation of the replication loss (likelihood.neglpost_rep
     semantics, reference lcgp.py:554-630) at O(q n m^2)."""
     lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
@@ -189,9 +313,14 @@ def neglpost_rep_fitc(free: P.FreeParams, data: RepData, z,
 
     D = data.diag_D
     lam = 1.0 / (D[:, None] * r[None, :])                      # (q, n)
-    core = _fitc_core(data.xs, z, lLmb, lLmb0, lnug, lam,
-                      compute_dtype=compute_dtype, kernel=kernel)
-    _, quad, ld = _fitc_terms(core, lam, b)
+    if n_chunk:
+        st = _fitc_stream(data.xs, z, lLmb, lLmb0, lnug, lam, b, n_chunk,
+                          compute_dtype=compute_dtype, kernel=kernel)
+        quad, ld = st.quad, st.ld
+    else:
+        core = _fitc_core(data.xs, z, lLmb, lLmb0, lnug, lam,
+                          compute_dtype=compute_dtype, kernel=kernel)
+        _, quad, ld = _fitc_terms(core, lam, b)
     # logdet A = sum_i log(D r_i) + logdet(C_hat + Lam)
     terms = 0.5 * (jnp.sum(jnp.log(D[:, None] * r[None, :]), axis=-1)
                    .astype(ld.dtype) + ld) - 0.5 * quad
@@ -207,9 +336,11 @@ class FitcAux(NamedTuple):
     u: jnp.ndarray        # (q, n) dual weights (diagnostic)
 
 
-@partial(jax.jit, static_argnames=("mode", "compute_dtype", "kernel"))
+@partial(jax.jit, static_argnames=("mode", "compute_dtype", "kernel",
+                                   "n_chunk"))
 def compute_aux_fitc(free: P.FreeParams, data, z, mode: str,
-                     compute_dtype=None, kernel: str = "matern32") -> FitcAux:
+                     compute_dtype=None, kernel: str = "matern32",
+                     n_chunk: int | None = None) -> FitcAux:
     lLmb, lLmb0, lsig_g, lnug = P.constrain(free)
     lsig = P.expand_sigma(lsig_g, data.sigma_map)
     sigma_raw = jnp.exp(lsig)
@@ -225,6 +356,11 @@ def compute_aux_fitc(free: P.FreeParams, data, z, mode: str,
         b = (data.ys.T @ psi_c).T
         lam = jnp.broadcast_to((1.0 / D)[:, None], b.shape)
 
+    if n_chunk:
+        return _compute_aux_fitc_streamed(
+            data.xs, z, lLmb, lLmb0, lnug, lam, b, n_chunk,
+            compute_dtype=compute_dtype, kernel=kernel)
+
     core = _fitc_core(data.xs, z, lLmb, lLmb0, lnug, lam,
                       compute_dtype=compute_dtype, kernel=kernel)
     u = _fitc_solve(core, lam.astype(core.W.dtype) * b.astype(core.W.dtype))
@@ -237,6 +373,61 @@ def compute_aux_fitc(free: P.FreeParams, data, z, mode: str,
     inner = G @ Minv
     inner = 0.5 * (inner + jnp.swapaxes(inner, -1, -2))
     return FitcAux(Lmm=core.Lmm, alpha=alpha, inner=inner, u=u)
+
+
+def _compute_aux_fitc_streamed(xs, z, lLmb, lLmb0, lnug, lam, b, n_chunk, *,
+                               compute_dtype, kernel) -> FitcAux:
+    """Memory-bounded aux: one accumulation pass (shared with the loss)
+    plus a second forward-only sweep for the (q, n) dual weights u.
+
+    alpha = W^T u collapses onto the pass-1 accumulators:
+        u = Lam~^{-1}(Lam b) - Lam~^{-1} W s  =>  alpha = t - G s.
+    The u sweep recomputes each W block (forward only, nothing stored but
+    the (q, n_chunk) outputs), so the resident footprint stays O(q m^2).
+    """
+    st = _fitc_stream(xs, z, lLmb, lLmb0, lnug, lam, b, n_chunk,
+                      compute_dtype=compute_dtype, kernel=kernel)
+    dt = st.Lmm.dtype
+    alpha = (st.t - jnp.einsum('qmk,qk->qm', st.G, st.s)).astype(dt)
+    Minv = linalg.chol_inverse(st.LM)
+    inner = st.G @ Minv
+    inner = 0.5 * (inner + jnp.swapaxes(inner, -1, -2))
+
+    q, n = lam.shape
+    n_blocks, pad = _pad_blocks(n, n_chunk)
+    xs_p = jnp.concatenate(
+        [xs, jnp.broadcast_to(xs[:1], (pad,) + xs.shape[1:])]) \
+        if pad else xs
+    lam_p = jnp.concatenate(
+        [lam, jnp.ones((q, pad), lam.dtype)], axis=1) if pad else lam
+    b_p = jnp.concatenate(
+        [b, jnp.zeros((q, pad), b.dtype)], axis=1) if pad else b
+    xs_blk = xs_p.reshape((n_blocks, n_chunk) + xs.shape[1:])
+    lam_blk = jnp.moveaxis(lam_p.reshape(q, n_blocks, n_chunk), 1, 0)
+    b_blk = jnp.moveaxis(b_p.reshape(q, n_blocks, n_chunk), 1, 0)
+    amp = lLmb0.astype(jnp.float64).astype(dt)
+    s_dt = st.s.astype(dt)
+
+    def body(_, blk):
+        xs_b, lam_b, b_b = blk
+        Knm = gram_stack(xs_b, z, lLmb, lLmb0, lnug, same=False,
+                         compute_dtype=compute_dtype, kind=kernel)
+        W = jnp.swapaxes(
+            linalg.solve_tri_lower(st.Lmm, jnp.swapaxes(Knm, -1, -2)),
+            -1, -2)
+        q_diag = jnp.sum(jnp.square(W), axis=-1)
+        c_diag = amp[:, None] * jnp.ones_like(q_diag)
+        lam_dt = lam_b.astype(dt)
+        lam_t = jnp.maximum(
+            lam_dt + jnp.maximum(c_diag - q_diag, 0.0),
+            jnp.asarray(1e-10, dtype=dt))
+        u_b = (lam_dt * b_b.astype(dt)
+               - jnp.einsum('qnm,qm->qn', W, s_dt)) / lam_t
+        return None, u_b
+
+    _, u_blocks = jax.lax.scan(body, None, (xs_blk, lam_blk, b_blk))
+    u = jnp.moveaxis(u_blocks, 0, 1).reshape(q, n_blocks * n_chunk)[:, :n]
+    return FitcAux(Lmm=st.Lmm, alpha=alpha, inner=inner, u=u)
 
 
 @partial(jax.jit, static_argnames=("compute_dtype", "kernel"))

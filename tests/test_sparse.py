@@ -73,6 +73,87 @@ class TestFitcLoss:
             assert np.isfinite(np.asarray(leaf)).all()
 
 
+class TestFitcStreaming:
+    """n-blocked streaming FITC (sparse._fitc_stream): the quad identity
+    quad = b^T Lam b - sum (lam b)^2/lam_t + t^T M^{-1} t must reproduce
+    the dense Woodbury path to float64 precision, block size dividing n
+    or not."""
+
+    @pytest.mark.parametrize('n_chunk', [16, 17, 53, 64])
+    def test_full_loss_parity(self, n_chunk):
+        data, free = _full_problem(n=53, seed=5)
+        z = jnp.asarray(sparse.select_inducing(np.asarray(data.xs), 9))
+        dense = float(sparse.neglpost_full_fitc(free, data, z))
+        stream = float(sparse.neglpost_full_fitc(free, data, z,
+                                                 n_chunk=n_chunk))
+        np.testing.assert_allclose(stream, dense, rtol=1e-12)
+
+    def test_full_grad_parity(self):
+        data, free = _full_problem(n=53, seed=6)
+        z = jnp.asarray(sparse.select_inducing(np.asarray(data.xs), 9))
+        gd = jax.grad(lambda fr: sparse.neglpost_full_fitc(fr, data, z))(free)
+        gs = jax.grad(lambda fr: sparse.neglpost_full_fitc(
+            fr, data, z, n_chunk=16))(free)
+        for a, b in zip(jax.tree.leaves(gd), jax.tree.leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-12)
+
+    def test_rep_loss_parity(self):
+        xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=3)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=12, n_chunk=0)
+        dense = float(m.loss())
+        stream = float(sparse.neglpost_rep_fitc(m._free, m._data, m._z,
+                                                n_chunk=7))
+        np.testing.assert_allclose(stream, dense, rtol=1e-12)
+
+    def test_aux_and_predict_parity(self):
+        xtr, ytr, xte, _ = datasets.make_rep_data_skewed(seed=4)
+        md = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=12, n_chunk=0)
+        ms = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=12, n_chunk=7)
+        ms.fit(method='adam', steps=20)
+        md._free = ms._free
+        md._params_version += 1
+        pd = md.predict(xte)
+        ps = ms.predict(xte)
+        for a, b in zip(pd[:2], ps[:2]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-12)
+        # dual-weight diagnostic (FitcAux.u) matches too
+        np.testing.assert_allclose(np.asarray(md._aux.u),
+                                   np.asarray(ms._aux.u),
+                                   rtol=1e-9, atol=1e-12)
+
+    def test_auto_policy_thresholds(self):
+        # small panels stay un-chunked; a >HBM-budget panel chunks with a
+        # power-of-two block bounded below by 4096
+        assert LCGP._auto_n_chunk(4, 50_000, 256, 'fast') is None
+        blk = LCGP._auto_n_chunk(4, 2_000_000, 512, 'fast')
+        assert blk == 32768
+        assert LCGP._auto_n_chunk(4, 2_000_000, 512, 'high') == 16384
+
+    def test_saveload_keeps_n_chunk(self, tmp_path):
+        xtr, ytr, _, _ = datasets.make_rep_data_skewed(seed=5)
+        m = LCGP(y=ytr, x=xtr, q=3, submethod='rep', inducing=12, n_chunk=7)
+        m.fit(method='adam', steps=10)
+        path = str(tmp_path / 'm.npz')
+        m.save(path)
+        m2 = LCGP.load(path)
+        assert m2.n_chunk == 7
+        np.testing.assert_allclose(float(m2.loss()), float(m.loss()),
+                                   rtol=0, atol=0)
+
+    def test_f32_streaming_close(self):
+        data, free = _full_problem(n=53, seed=7)
+        z = jnp.asarray(sparse.select_inducing(np.asarray(data.xs), 9))
+        dense = float(sparse.neglpost_full_fitc(free, data, z,
+                                                compute_dtype=jnp.float32))
+        stream = float(sparse.neglpost_full_fitc(
+            free, data, z, compute_dtype=jnp.float32, n_chunk=16))
+        f64 = float(sparse.neglpost_full_fitc(free, data, z))
+        assert abs(stream - f64) / abs(f64) < 1e-4
+        assert abs(stream - dense) / abs(f64) < 1e-4
+
+
 class TestFitcModel:
     def _fit_pair(self, seed=5):
         xtr, ytr, xte, ytrue = datasets.make_rep_data_skewed(seed=seed)
