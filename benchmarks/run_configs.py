@@ -104,8 +104,49 @@ def config6():
                 kwargs=dict(q=q, inducing=m))
 
 
+def config7():
+    """n=400k inducing-point scale demo (round 4): 8x config 6, m=512.
+    The exact path's (q,n,n) stack would be 5 TB; FITC's (q,n,m) f32
+    panels are ~3 GB and the per-eval cost stays O(n m^2).  Same field
+    family as config 6 with one extra input-frequency octave so m=512
+    has structure to resolve.  n=500k OOMs the un-chunked Adam backward
+    by 311 MB (three live (q,n,m) panels, sparse.py:104) — the measured
+    un-chunked single-chip FITC ceiling."""
+    rng = np.random.default_rng(13)
+    n, d, p, q, m = 400_000, 2, 20, 4, 512
+    x = rng.uniform(0, 1, (n + 500, d))
+    t = np.linspace(0, 1, p)[:, None]
+    f = (np.sin(2 * np.pi * (t + x[:, :1].T)) * x[:, 1:2].T
+         + np.cos(np.pi * t * x[:, 1:2].T)
+         + 0.3 * np.sin(4 * np.pi * x[:, :1].T + np.pi * t))
+    y = f + 0.05 * rng.standard_normal(f.shape)
+    return dict(name='fitc_n400k_m512', x=x[:n], y=y[:, :n],
+                xte=x[n:], ytrue=f[:, n:],
+                kwargs=dict(q=q, inducing=m, n_chunk=0))
+
+
+def config8():
+    """n=2M streaming-FITC demo (round 4): past the measured un-chunked
+    ceiling (n=500k OOM, see config7), the n-blocked streaming loss
+    (models/sparse._fitc_stream, auto n_chunk) scans 32768-point blocks
+    with a rematerialized backward, so the only n-sized residents are
+    the (q, n)/(p, n) data arrays (~0.5 GB here) — single-chip n is
+    bounded by data size, not by the factorization."""
+    rng = np.random.default_rng(17)
+    n, d, p, q, m = 2_000_000, 2, 20, 4, 512
+    x = rng.uniform(0, 1, (n + 500, d))
+    t = np.linspace(0, 1, p)[:, None]
+    f = (np.sin(2 * np.pi * (t + x[:, :1].T)) * x[:, 1:2].T
+         + np.cos(np.pi * t * x[:, 1:2].T)
+         + 0.3 * np.sin(4 * np.pi * x[:, :1].T + np.pi * t))
+    y = f + 0.05 * rng.standard_normal(f.shape)
+    return dict(name='fitc_n2M_m512_stream', x=x[:n], y=y[:, :n],
+                xte=x[n:], ytrue=f[:, n:],
+                kwargs=dict(q=q, inducing=m))
+
+
 CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
-           6: config6}
+           6: config6, 7: config7, 8: config8}
 
 
 def main():

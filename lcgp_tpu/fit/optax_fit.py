@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from .auxloss import split_aux
+
 
 class DeviceFitResult(NamedTuple):
     params: object
@@ -63,14 +65,17 @@ def minimize_adam(loss_fn: Callable, params0, *, steps: int = 500,
     """callback(step, loss, params), invoked at each host sync (block
     boundary) — use for mid-fit checkpointing/telemetry."""
     opt = optax.adam(learning_rate)
-    vg = jax.value_and_grad(loss_fn)
+    # aux (training tensors) rides as a runtime jit argument, not a traced
+    # closure constant — see fit/auxloss.py for why (HTTP 413 at n=2M)
+    fn, aux = split_aux(loss_fn)
+    vg = jax.value_and_grad(fn)
 
     def make_block(length):
         @jax.jit
-        def run_block(params, state):
+        def run_block(params, state, aux):
             def body(carry, _):
                 params, state = carry
-                v, g = vg(params)
+                v, g = vg(params, aux)
                 updates, state = opt.update(g, state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, state), v
@@ -89,7 +94,7 @@ def minimize_adam(loss_fn: Callable, params0, *, steps: int = 500,
         length = min(block_steps, steps - done)
         block = run_full if length == min(block_steps, steps) else \
             make_block(length)
-        params, state, v = block(params, state)
+        params, state, v = block(params, state, aux)
         last = float(v)  # host sync bounds the device dispatch length
         done += length
         if verbose:
@@ -125,10 +130,15 @@ def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
                 max_backtracking_steps=20, store_grad=True))
     else:
         opt = optax.lbfgs()
-    vg = optax.value_and_grad_from_state(loss_fn)
+    # aux (training tensors) rides as a runtime jit argument, not a traced
+    # closure constant — see fit/auxloss.py for why (HTTP 413 at n=2M)
+    fn, aux = split_aux(loss_fn)
 
     @jax.jit
-    def run_block(params, state, it):
+    def run_block(params, state, it, aux):
+        loss_p = lambda p: fn(p, aux)       # binds the *traced* aux
+        vg = optax.value_and_grad_from_state(loss_p)
+
         def cond(carry):
             params, state, i = carry
             grad = optax.tree.get(state, "grad")
@@ -141,7 +151,7 @@ def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
             params, state, i = carry
             value, grad = vg(params, state=state)
             updates, state = opt.update(grad, state, params, value=value,
-                                        grad=grad, value_fn=loss_fn)
+                                        grad=grad, value_fn=loss_p)
             params = optax.apply_updates(params, updates)
             return params, state, i + 1
 
@@ -155,7 +165,7 @@ def minimize_lbfgs_jax(loss_fn: Callable, params0, *, maxiter: int = 500,
     plateau = PlateauTracker(plateau_rtol)
     reason = 'cap'
     while True:
-        params, state, it_new, value = run_block(params, state, it)
+        params, state, it_new, value = run_block(params, state, it, aux)
         done = int(it_new)  # host sync
         v = float(value)
         if verbose:

@@ -15,6 +15,8 @@ import scipy.optimize
 import jax
 from jax.flatten_util import ravel_pytree
 
+from .auxloss import split_aux
+
 
 class FitResult(NamedTuple):
     params: object          # optimized pytree (same structure as params0)
@@ -45,7 +47,12 @@ def minimize_lbfgs(loss_fn: Callable, params0, verbose: bool = False,
     ('gtol'/'plateau'/'cap'/'other').
     """
     flat0, unravel = ravel_pytree(params0)
-    vg = jax.jit(jax.value_and_grad(lambda flat: loss_fn(unravel(flat))))
+    # aux (training tensors) rides as a runtime jit argument, not a traced
+    # closure constant — see fit/auxloss.py for why (HTTP 413 at n=2M)
+    fn, aux = split_aux(loss_fn)
+    _vg = jax.jit(jax.value_and_grad(
+        lambda flat, aux: fn(unravel(flat), aux)))
+    vg = lambda flat: _vg(flat, aux)
 
     neval = 0
     nit_seen = 0

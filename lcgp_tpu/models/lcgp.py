@@ -564,12 +564,18 @@ class LCGP:
                     self.submethod, self._data, self._z, self._n_mesh,
                     compute_dtype=compute_dtype, kernel=self.kernel)
             from . import sparse
+            from ..fit.auxloss import AuxLoss
             fitc = (sparse.neglpost_rep_fitc if self.submethod == 'rep'
                     else sparse.neglpost_full_fitc)
-            return lambda free: fitc(free, self._data, self._z,
-                                     compute_dtype=compute_dtype,
-                                     kernel=self.kernel,
-                                     n_chunk=self.n_chunk)
+            # AuxLoss threads the training tensors through the optimizer
+            # jits as a runtime argument — at streaming scale (n=2M) the
+            # closure-constant form exceeds compile-payload limits
+            return AuxLoss(
+                lambda free, data: fitc(free, data, self._z,
+                                        compute_dtype=compute_dtype,
+                                        kernel=self.kernel,
+                                        n_chunk=self.n_chunk),
+                self._data)
         return lik.make_loss(self.submethod, self._data,
                              compute_dtype=compute_dtype,
                              jitter=jitter, q_chunk=self.q_chunk,

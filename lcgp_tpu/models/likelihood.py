@@ -355,13 +355,24 @@ def neglpost_rep(free: P.FreeParams, data: RepData,
 
 def make_loss(submethod: str, data, compute_dtype=None, jitter: float = 0.0,
               q_chunk: int | None = None, kernel: str = 'matern32'):
-    """Return loss(free_params) for the given submethod with data closed over."""
+    """Return loss(free_params) for the given submethod.
+
+    The returned loss is an :class:`~lcgp_tpu.fit.auxloss.AuxLoss`: callable
+    as a plain closure, but optimizers thread ``data`` through their jitted
+    blocks as a runtime argument so the training tensors are never inlined
+    into the compiled program as constants.
+    """
+    from ..fit.auxloss import AuxLoss
     if submethod == 'full':
-        return lambda free: neglpost_full(free, data, compute_dtype=compute_dtype,
-                                          jitter=jitter, q_chunk=q_chunk,
-                                          kernel=kernel)
+        return AuxLoss(
+            lambda free, data: neglpost_full(free, data,
+                                             compute_dtype=compute_dtype,
+                                             jitter=jitter, q_chunk=q_chunk,
+                                             kernel=kernel), data)
     if submethod == 'rep':
-        return lambda free: neglpost_rep(free, data, compute_dtype=compute_dtype,
-                                         jitter=jitter, q_chunk=q_chunk,
-                                         kernel=kernel)
+        return AuxLoss(
+            lambda free, data: neglpost_rep(free, data,
+                                            compute_dtype=compute_dtype,
+                                            jitter=jitter, q_chunk=q_chunk,
+                                            kernel=kernel), data)
     raise ValueError("Invalid submethod. Choices are 'full' or 'rep'.")
