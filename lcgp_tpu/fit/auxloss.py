@@ -40,5 +40,10 @@ def split_aux(loss_fn):
     pytree — free to thread through jit).
     """
     if isinstance(loss_fn, AuxLoss):
-        return loss_fn.fn, jax.device_put(loss_fn.aux)
+        # leave committed jax.Arrays alone (they may carry a sharding);
+        # only host arrays need the one-time transfer
+        aux = jax.tree.map(
+            lambda a: a if isinstance(a, jax.Array) else jax.device_put(a),
+            loss_fn.aux)
+        return loss_fn.fn, aux
     return (lambda params, _aux: loss_fn(params)), None

@@ -900,20 +900,23 @@ class LCGP:
                 return _fn(free, data, z, compute_dtype=compute_dtype,
                            kernel=kernel, n_chunk=self.n_chunk)
 
+        # AuxLoss: data rides as a runtime jit argument (never an HLO
+        # constant) — same compile-payload reasoning as _loss_fn
+        from ..fit.auxloss import AuxLoss
         if joint:
-            def loss(tree):
-                return fitc(tree['free'], self._data, tree['z'],
+            def loss(tree, data):
+                return fitc(tree['free'], data, tree['z'],
                             compute_dtype=self._compute_dtype,
                             kernel=self.kernel)
             tree0 = {'free': self._free, 'z': self._z}
         else:
-            def loss(tree):
-                return fitc(self._free, self._data, tree['z'],
+            def loss(tree, data):
+                return fitc(self._free, data, tree['z'],
                             compute_dtype=self._compute_dtype,
                             kernel=self.kernel)
             tree0 = {'z': self._z}
 
-        res = minimize_adam(loss, tree0, steps=steps,
+        res = minimize_adam(AuxLoss(loss, self._data), tree0, steps=steps,
                             learning_rate=learning_rate, verbose=verbose)
         # z stays unconstrained: the kernel is defined everywhere and
         # projecting back to [0,1]^d post-hoc would undo the optimization

@@ -239,15 +239,17 @@ def neglpost_rep_fitc_nsharded(free: Pm.FreeParams, data: RepData, z,
 
 def make_loss(submethod: str, data, z, mesh: Mesh, compute_dtype=None,
               kernel: str = 'matern32'):
-    """loss(free) with data+z+mesh closed over (nshard.make_loss contract,
-    FITC estimator)."""
+    """AuxLoss(free, data) with z+mesh closed over (nshard.make_loss
+    contract, FITC estimator).  Data rides through optimizer jits as a
+    runtime argument, not an HLO constant (fit/auxloss.py)."""
+    from ..fit.auxloss import AuxLoss
     loss_fn = (neglpost_rep_fitc_nsharded if submethod == 'rep'
                else neglpost_full_fitc_nsharded)
 
-    def loss(free):
+    def loss(free, data):
         return loss_fn(free, data, z, mesh, compute_dtype=compute_dtype,
                        kernel=kernel)
-    return loss
+    return AuxLoss(loss, data)
 
 
 # ---------------------------------------------------------------------------

@@ -705,15 +705,19 @@ def neglpost_rep_nsharded(free: Pm.FreeParams, data: RepData, mesh: Mesh,
 
 def make_loss(submethod: str, data, mesh: Mesh, compute_dtype=None,
               jitter: float = 0.0, kernel: str = 'matern32'):
-    """loss(free) with data+mesh closed over (same contract as
-    likelihood.make_loss, n-sharded execution)."""
+    """AuxLoss(free, data) with mesh closed over (same contract as
+    likelihood.make_loss, n-sharded execution).  The data pytree rides
+    through optimizer jits as a runtime argument, not an HLO constant —
+    at pod-scale n the constant form exceeds compile-payload limits
+    (fit/auxloss.py)."""
+    from ..fit.auxloss import AuxLoss
     loss_fn = (neglpost_rep_nsharded if submethod == 'rep'
                else neglpost_full_nsharded)
 
-    def loss(free):
+    def loss(free, data):
         return loss_fn(free, data, mesh, compute_dtype=compute_dtype,
                        jitter=jitter, kernel=kernel)
-    return loss
+    return AuxLoss(loss, data)
 
 
 def make_nsharded_value_and_grad(mesh: Mesh, data,
@@ -724,7 +728,8 @@ def make_nsharded_value_and_grad(mesh: Mesh, data,
     sub = 'rep' if isinstance(data, RepData) else 'full'
     loss = make_loss(sub, data, mesh, compute_dtype=compute_dtype,
                      jitter=jitter, kernel=kernel)
-    return jax.jit(jax.value_and_grad(loss))
+    vg = jax.jit(jax.value_and_grad(loss.fn))
+    return lambda free: vg(free, loss.aux)
 
 
 # ---------------------------------------------------------------------------
