@@ -16,6 +16,7 @@ Differences (all documented in DESIGN.md):
 from __future__ import annotations
 
 import json
+import os
 from typing import Optional
 
 import numpy as np
@@ -591,9 +592,47 @@ class LCGP:
     # (benchmarks/validate_mixed.py, RESULTS.md) and costs ~0.47x of f64
     _AUTO_MIXED_N = 2048
 
-    # Conservative single-chip HBM budget for the training working set
-    # (v5e has 15.75 GB; leave headroom for XLA scratch + the data terms).
-    _HBM_BUDGET_BYTES = 10e9
+    # Training-working-set fraction of a chip's HBM.  Calibrated on v5e
+    # (15.75 GB), where measured-feasible chunks match a 10 GB budget —
+    # the remainder is XLA scratch + data terms, which scale with the
+    # working set, so the *fraction* transfers across device generations.
+    _HBM_BUDGET_FRACTION = 10e9 / 15.75e9
+    _HBM_BUDGET_DEFAULT = 10e9        # no-probe fallback (matches v5e)
+    # device_kind -> total HBM bytes, for backends without memory_stats()
+    _HBM_BY_DEVICE_KIND = {
+        'TPU v4': 32e9, 'TPU v5 lite': 15.75e9, 'TPU v5': 95e9,
+        'TPU v5e': 15.75e9, 'TPU v5p': 95e9, 'TPU v6 lite': 32e9,
+        'TPU v6e': 32e9, 'TPU7x': 192e9,
+    }
+
+    @classmethod
+    def _hbm_budget_bytes(cls) -> float:
+        """Per-chip working-set budget the auto-chunk planners size against.
+
+        Resolution order: ``LCGP_TPU_HBM_BUDGET_BYTES`` env override ->
+        probed ``device.memory_stats()['bytes_limit']`` -> device-kind
+        table -> the v5e-calibrated 10 GB default (also used on CPU, where
+        the chunk decisions only affect test determinism, not feasibility).
+        """
+        env = os.environ.get('LCGP_TPU_HBM_BUDGET_BYTES')
+        if env:
+            return float(env)
+        try:
+            import jax
+            dev = jax.local_devices()[0]
+            if dev.platform == 'cpu':
+                return cls._HBM_BUDGET_DEFAULT
+            stats = getattr(dev, 'memory_stats', lambda: None)() or {}
+            limit = stats.get('bytes_limit')
+            if limit:
+                return cls._HBM_BUDGET_FRACTION * float(limit)
+            kind = getattr(dev, 'device_kind', '')
+            for k, total in cls._HBM_BY_DEVICE_KIND.items():
+                if kind.startswith(k):
+                    return cls._HBM_BUDGET_FRACTION * total
+        except Exception:  # noqa: BLE001 — never let a probe failure
+            pass           # (uninitialized backend, tunnel hiccup) block fit
+        return cls._HBM_BUDGET_DEFAULT
 
     @classmethod
     def _auto_q_chunk(cls, q: int, n: int, precision: str):
@@ -603,14 +642,15 @@ class LCGP:
         stacks during the chunk's forward+backward plus the stored (q,n,n)
         Cholesky residuals -> (8*qc + q) * n^2 * itemsize."""
         itemsize = 4 if precision == 'fast' else 8
+        budget = cls._hbm_budget_bytes()
 
         def peak(qc):
             return (8 * qc + q) * n * n * itemsize
 
-        if peak(q) <= cls._HBM_BUDGET_BYTES:
+        if peak(q) <= budget:
             return None                       # unchunked fits
         for qc in range(q - 1, 0, -1):
-            if q % qc == 0 and peak(qc) <= cls._HBM_BUDGET_BYTES:
+            if q % qc == 0 and peak(qc) <= budget:
                 return qc
         return 1
 
@@ -625,7 +665,7 @@ class LCGP:
         enough to keep the MXU GEMM-bound, small enough that the scan's
         rematerialized backward stays a rounding error in HBM."""
         itemsize = 4 if precision == 'fast' else 8
-        if 4 * q * n * m * itemsize <= cls._HBM_BUDGET_BYTES:
+        if 4 * q * n * m * itemsize <= cls._hbm_budget_bytes():
             return None                       # un-chunked backward fits
         per_point = q * m * itemsize
         block = max(4096, int(2 ** np.floor(
@@ -659,10 +699,13 @@ class LCGP:
                           L-BFGS quality at a fraction of the f64 evals.
 
         mesh=...        : a jax.sharding.Mesh from parallel.make_mesh runs
-                          the optimization sharded over it (on-device Adam;
-                          kwargs: steps, learning_rate, plateau_rtol,
-                          callback, checkpoint_path — same surface as the
-                          single-device on-device loops).
+                          the optimization sharded over it.  method='auto'
+                          or 'adam' runs the sharded on-device Adam loop
+                          (kwargs: steps, learning_rate, plateau_rtol,
+                          callback, checkpoint_path); method='scipy' or
+                          'lbfgs-jax' runs L-BFGS over the same sharded
+                          loss through the single-device drivers — full
+                          optimizer-family parity.
         """
         # mid-fit checkpointing: periodically persist the free parameters
         # (+ step/loss) so a long fit survives preemption; restore with
@@ -704,13 +747,15 @@ class LCGP:
                     f"('comp','n') or ('comp', 'out'); got {axes!r}.  "
                     "Build one with parallel.make_mesh, parallel.nshard."
                     "make_n_mesh or parallel.nshard.make_nc_mesh.")
-            # ('comp','out') mesh: full optimizer parity with the
-            # single-device paths (VERDICT r3 weak #4) — callbacks (incl.
-            # mid-fit checkpointing, wired above) fire at block-boundary
-            # host syncs, plateau_rtol= stops early (opt-in, patience-
-            # guarded: Adam's loss is non-monotone, so no default plateau —
-            # same semantics as the single-device Adam loop), and
-            # _fit_result records fun/nit/stop_reason.
+            # ('comp','out') mesh: optimizer parity with single-device —
+            # method='auto'/'adam' runs the sharded on-device Adam loop
+            # (steps/learning_rate/block_steps kwargs); method='scipy' or
+            # 'lbfgs-jax' runs genuine L-BFGS over the same sharded loss
+            # (parallel.mesh.make_sharded_loss) through the exact
+            # single-device drivers.  Callbacks (incl. mid-fit
+            # checkpointing, wired above), plateau_rtol= (opt-in,
+            # patience-guarded on the non-monotone Adam loop), and
+            # _fit_result fun/nit/stop_reason work on every method.
             if self._z is not None:
                 raise ValueError(
                     "inducing-point (FITC) models don't support the "
@@ -718,6 +763,17 @@ class LCGP:
                     "the exact loss); use an ('n',) mesh — "
                     "fit(mesh=parallel.nshard.make_n_mesh()) shards the "
                     "FITC Woodbury panel (parallel/fitc_shard).")
+            if method not in ('auto', 'adam'):
+                from ..parallel import mesh as mesh_mod
+                loss_fn = mesh_mod.make_sharded_loss(
+                    mesh, self._data, compute_dtype=self._compute_dtype,
+                    jitter=self._jitter, kernel=self.kernel)
+                self._run_optimizer(loss_fn, method, verbose, **kwargs)
+                # gather the (possibly comp-sharded) leaves so downstream
+                # single-device predict is layout-agnostic
+                self._free = P.FreeParams(*(jnp.asarray(np.asarray(a))
+                                            for a in self._free))
+                return
             kwargs.setdefault('verbose', verbose or self.verbose)
             from .. import parallel
             free, res = parallel.fit_sharded(self._data, self._free, mesh,

@@ -23,8 +23,71 @@ def add_diag(mats, vals):
 
 
 def cholesky(mats):
-    """Batched lower Cholesky."""
-    return jnp.linalg.cholesky(mats)
+    """Batched lower Cholesky (blocked right-looking at large n —
+    :func:`cholesky_blocked`; XLA's native Cholesky serializes on its
+    panel loop, catastrophically so in emulated f64)."""
+    return cholesky_blocked(mats)
+
+
+_CHOL_BLOCK = 512
+
+
+def cholesky_blocked(A, block: int | None = None):
+    """Batched lower Cholesky via right-looking block factorization.
+
+    XLA's ``cholesky`` runs a fine-grained panel loop whose per-step
+    triangular work cannot tile onto the MXU; in emulated f64 it is the
+    single dominant cost of a loss evaluation (round-5 profile: 10.1 s of
+    the 11.36 s/eval at n=4096, q=20 — the forward factorization outweighed
+    the 2x-flops blocked backward eight-fold).  This variant does the
+    O(n^3) work as batched GEMMs instead:
+
+      for each nb-block k:  Lkk = chol(Tkk)                (small, batched)
+                            panel = T[k+1:, k] Lkk^{-T}    (one GEMM)
+                            T[i, k+1..i] -= p_i p_{k+1..i}^T  (strip GEMMs)
+
+    The strip-wise trailing update touches only the block-lower triangle:
+    n^3/3 total GEMM flops — the Cholesky flop count, on the MXU's
+    emulated-f64 path (measured ~0.3-1.4 TFLOP/s) instead of XLA's panel
+    substitutions.  Values agree with ``jnp.linalg.cholesky`` to the
+    factorization's backward error (same algorithm at block granularity).
+    Non-block-divisible n pads with an identity tail (chol([[A,0],[0,I]])
+    = [[L,0],[0,I]]); n < 2 blocks falls back to XLA's native Cholesky.
+    """
+    n = A.shape[-1]
+    nb = block or _CHOL_BLOCK
+    if n < 2 * nb:
+        return jnp.linalg.cholesky(A)
+    if n % nb:
+        np_ = _next_mult(n, nb)
+        tail = jnp.concatenate([jnp.zeros((n,), dtype=A.dtype),
+                                jnp.ones((np_ - n,), dtype=A.dtype)])
+        Ap = _pad_nn(A, np_) + tail * jnp.eye(np_, dtype=A.dtype)
+        return cholesky_blocked(Ap, block=nb)[..., :n, :n]
+    nd = n // nb
+    batch = A.shape[:-2]
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=A.dtype), batch + (nb, nb))
+    L = jnp.zeros_like(A)
+    T = A
+    for k in range(nd):
+        ck = slice(k * nb, (k + 1) * nb)
+        Lkk = jnp.linalg.cholesky(T[..., ck, ck])
+        L = L.at[..., ck, ck].set(Lkk)
+        if k + 1 == nd:
+            break
+        rest = slice((k + 1) * nb, n)
+        Lkk_inv = solve_tri_lower(Lkk, eye)
+        panel = jnp.matmul(T[..., rest, ck],
+                           jnp.swapaxes(Lkk_inv, -1, -2))
+        L = L.at[..., rest, ck].set(panel)
+        for i in range(k + 1, nd):
+            ci = slice(i * nb, (i + 1) * nb)
+            span = slice((k + 1) * nb, (i + 1) * nb)
+            pi = panel[..., (i - k - 1) * nb:(i - k) * nb, :]
+            pj = panel[..., :(i - k) * nb, :]
+            T = T.at[..., ci, span].add(
+                -jnp.matmul(pi, jnp.swapaxes(pj, -1, -2)))
+    return L
 
 
 def chol_logdet(chols):

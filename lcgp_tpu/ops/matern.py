@@ -145,14 +145,23 @@ def matern32_diag(x0, amplitudes, n_components: int | None = None):
     return amplitudes[:, None] * jnp.ones((amplitudes.shape[0], n0), dtype=amplitudes.dtype)
 
 
-def Matern32(x1, x2, llmb, llmb0, lnug, diag_only: bool = False):
+def Matern32(x1, x2, llmb, llmb0, lnug, diag_only: bool = False,
+             same: bool | None = None):
     """Single-component kernel with the reference's exact public signature
     and validation behavior (reference covmat.py:5-55).
 
     Accepts concrete (non-traced) arrays; the nugget-on-diagonal decision
     follows the reference's runtime rules: shapes must match *and* all values
     be equal.  Inside jit, use :func:`matern32_gram` with a static ``same``.
+
+    ``same`` overrides the runtime x1==x2 check: pass ``True``/``False`` to
+    skip it entirely.  With ``same=None`` the check short-circuits on object
+    identity (``Matern32(x, x, ...)`` costs no host sync) and only falls back
+    to a full ``np.array_equal`` — an O(n*d) host roundtrip, measurable under
+    the remote-device tunnel — for distinct same-shape arrays.
     """
+    if same is None and x1 is x2:
+        same = True
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)
     assert x1.ndim == 2, 'input x1 should be 2-dimensional, (n_param, dim_param)'
@@ -173,9 +182,12 @@ def Matern32(x1, x2, llmb, llmb0, lnug, diag_only: bool = False):
             'diag_only should only be called when x1 and x2 are identical.'
         return matern32_diag(x1, llmb0)[0]
 
-    if x1.shape != x2.shape:
-        same = False
-    else:
-        same = bool(np.array_equal(np.asarray(x1), np.asarray(x2)))
+    if same is None:
+        if x1 is x2:
+            same = True
+        elif x1.shape != x2.shape:
+            same = False
+        else:
+            same = bool(np.array_equal(np.asarray(x1), np.asarray(x2)))
     return matern32_gram(x1, x2, llmb[None, :], llmb0[None], lnug[None],
                          same=same)[0]

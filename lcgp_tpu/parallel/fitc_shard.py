@@ -249,7 +249,8 @@ def make_loss(submethod: str, data, z, mesh: Mesh, compute_dtype=None,
     def loss(free, data):
         return loss_fn(free, data, z, mesh, compute_dtype=compute_dtype,
                        kernel=kernel)
-    return AuxLoss(loss, data)
+    from .nshard import data_shardings
+    return AuxLoss(loss, data, aux_sharding=data_shardings(mesh, data))
 
 
 # ---------------------------------------------------------------------------

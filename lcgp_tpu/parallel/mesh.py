@@ -81,10 +81,34 @@ def place(tree, shardings):
                         is_leaf=lambda x: x is None)
 
 
-def _loss_for(data):
+def _loss_for(data, **kw):
     if isinstance(data, RepData):
-        return lambda free, d: neglpost_rep(free, d)
-    return lambda free, d: neglpost_full(free, d)
+        return lambda free, d: neglpost_rep(free, d, **kw)
+    return lambda free, d: neglpost_full(free, d, **kw)
+
+
+def make_sharded_loss(mesh: Mesh, data, compute_dtype=None,
+                      jitter: float = 0.0, kernel: str = 'matern32'):
+    """AuxLoss over the ('comp','out') mesh, consumable by EVERY optimizer
+    driver in fit/ (scipy L-BFGS-B, optax L-BFGS, Adam) — genuine optimizer
+    parity between mesh and single-device fits.
+
+    The loss body constrains the parameter pytree to its 'comp' shardings
+    (so the (q,n,n) stacks shard per component no matter how the driver
+    passes parameters in — scipy's flat-vector round-trip included), and
+    the attached ``aux_sharding`` stages Y/phi split over 'out' when
+    :func:`~lcgp_tpu.fit.auxloss.split_aux` transfers the data.  No q_chunk:
+    the comp axis already divides the component stacks per device."""
+    from ..fit.auxloss import AuxLoss
+    loss = _loss_for(data, compute_dtype=compute_dtype, jitter=jitter,
+                     kernel=kernel)
+    ps = param_shardings(mesh)
+
+    def fn(free, d):
+        free = jax.lax.with_sharding_constraint(free, ps)
+        return loss(free, d)
+
+    return AuxLoss(fn, data, aux_sharding=data_shardings(mesh, data))
 
 
 def make_sharded_value_and_grad(mesh: Mesh, data):

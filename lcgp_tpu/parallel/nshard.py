@@ -90,6 +90,31 @@ def is_n_mesh(mesh) -> bool:
     return tuple(mesh.axis_names) in ((AXIS,), (COMP, AXIS))
 
 
+def data_shardings(mesh: Mesh, data):
+    """Sharding pytree matching a FullData/RepData for this mesh.
+
+    n-axis leaves (xs rows, ys/ybar columns, r) shard over 'n' and
+    replicate over 'comp'; everything else replicates.  Used as
+    ``AuxLoss.aux_sharding`` so :func:`~lcgp_tpu.fit.auxloss.split_aux`
+    stages each training leaf directly with its mesh layout instead of
+    landing the whole pytree on one device (which at pod-scale n would
+    OOM the staging chip)."""
+    from jax.sharding import NamedSharding
+    rep = NamedSharding(mesh, P())
+    # device_put needs the sharded dim divisible by the axis size; when n
+    # isn't (the losses pad internally), replicate — correctness is
+    # unaffected, only the staging layout.
+    if data.xs.shape[0] % _n_size(mesh):
+        row = col = rep
+    else:
+        row = NamedSharding(mesh, P(AXIS))       # (n, ...) leaves
+        col = NamedSharding(mesh, P(None, AXIS))  # (p, n) leaves
+    if isinstance(data, RepData):
+        return RepData(xs=row, ybar=col, scale=rep, r=row, phi=rep,
+                       diag_D=rep, sigma_map=rep)
+    return FullData(xs=row, ys=col, phi=rep, diag_D=rep, sigma_map=rep)
+
+
 def _n_size(mesh: Mesh) -> int:
     """Devices along the n axis (the panel-loop length)."""
     return mesh.shape[AXIS]
@@ -717,7 +742,7 @@ def make_loss(submethod: str, data, mesh: Mesh, compute_dtype=None,
     def loss(free, data):
         return loss_fn(free, data, mesh, compute_dtype=compute_dtype,
                        jitter=jitter, kernel=kernel)
-    return AuxLoss(loss, data)
+    return AuxLoss(loss, data, aux_sharding=data_shardings(mesh, data))
 
 
 def make_nsharded_value_and_grad(mesh: Mesh, data,
@@ -725,11 +750,15 @@ def make_nsharded_value_and_grad(mesh: Mesh, data,
                                  kernel: str = 'matern32'):
     """jit(value_and_grad) of the n-sharded loss over the mesh (full or
     rep data)."""
+    from ..fit.auxloss import split_aux
     sub = 'rep' if isinstance(data, RepData) else 'full'
     loss = make_loss(sub, data, mesh, compute_dtype=compute_dtype,
                      jitter=jitter, kernel=kernel)
-    vg = jax.jit(jax.value_and_grad(loss.fn))
-    return lambda free: vg(free, loss.aux)
+    # one-time, mesh-laid-out transfer of the data pytree — NOT re-sent
+    # host->device on every evaluation
+    fn, aux = split_aux(loss)
+    vg = jax.jit(jax.value_and_grad(fn))
+    return lambda free: vg(free, aux)
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import queue as queue_mod
 import threading
 import time
@@ -56,13 +57,20 @@ class _Chunk:
 
 class PredictServer:
     def __init__(self, model_or_path, batch_size: int = 256,
-                 warmup: bool = True):
+                 warmup: bool = True, reload_dir=None):
+        """``reload_dir``: directory HTTP ``POST /reload`` may load model
+        files from.  ``None`` (default) disables the HTTP reload endpoint
+        entirely — an unauthenticated endpoint that loads any
+        client-named filesystem path is an arbitrary-file-read primitive.
+        The in-process :meth:`reload` method is always available."""
         from .models.lcgp import LCGP
         if isinstance(model_or_path, (str, bytes)) or hasattr(model_or_path,
                                                               '__fspath__'):
             self.model = LCGP.load(model_or_path)
         else:
             self.model = model_or_path
+        self.reload_dir = (None if reload_dir is None
+                           else os.path.realpath(os.fspath(reload_dir)))
         self.batch_size = int(batch_size)
         self._httpd = None
         self._reload_lock = threading.Lock()
@@ -276,17 +284,22 @@ class PredictServer:
         executable rather than the row-microbatcher (coalescing rows of
         different requests would not reduce the dominant p^2 cost).
         """
-        if self.model.submethod != 'full':
-            raise ValueError('full predictive covariance is only available '
-                             "for submethod='full' models")
         x0 = np.atleast_2d(np.asarray(x0, dtype=np.float64))
         if x0.shape[1] != int(self.model.d):
             raise ValueError(
                 f'expected (n0, {int(self.model.d)}) inputs, got {x0.shape}')
         with self._fullcov_lock:
-            with self._reload_lock:     # pair fn_fullcov with its state
+            with self._reload_lock:     # pair fn_fullcov with its state;
+                # re-validate submethod here: a concurrent full->rep reload
+                # after an unlocked check would otherwise hand a rep model
+                # to the fullcov build and surface as an opaque trace error
+                model = self.model
+                if model.submethod != 'full':
+                    raise ValueError(
+                        'full predictive covariance is only available '
+                        "for submethod='full' models")
                 if self._fn_fullcov is None:
-                    self._fn_fullcov = self._build_fused_fullcov(self.model)
+                    self._fn_fullcov = self._build_fused_fullcov(model)
                 fn, state = self._fn_fullcov, self._state
             bs = self.batch_size
             outs = []
@@ -397,13 +410,26 @@ class PredictServer:
 
             def do_POST(self):
                 if self.path == '/reload':
+                    if server.reload_dir is None:
+                        self._reply(403, {'error': 'HTTP reload disabled; '
+                                          'start the server with reload_dir= '
+                                          'to enable it'})
+                        return
                     try:
                         length = int(self.headers.get('Content-Length', 0))
                         req = json.loads(self.rfile.read(length) or b'{}')
-                        self._reply(200, server.reload(req['path']))
-                    except (KeyError, ValueError, TypeError,
-                            FileNotFoundError) as e:
-                        self._reply(400, {'error': str(e)})
+                        path = os.path.realpath(
+                            os.path.join(server.reload_dir, str(req['path'])))
+                        if os.path.commonpath(
+                                [path, server.reload_dir]) != server.reload_dir:
+                            self._reply(403, {'error': 'reload path escapes '
+                                              'the configured reload_dir'})
+                            return
+                        self._reply(200, server.reload(path))
+                    except Exception as e:  # noqa: BLE001 — a corrupt model
+                        # file (BadZipFile, OSError, ...) must return a JSON
+                        # error, not abort the connection
+                        self._reply(400, {'error': f'{type(e).__name__}: {e}'})
                     return
                 if self.path != '/predict':
                     self._reply(404, {'error': 'not found'})
@@ -429,6 +455,9 @@ class PredictServer:
                     self._reply(200, payload)
                 except (KeyError, ValueError, TypeError) as e:
                     self._reply(400, {'error': str(e)})
+                except Exception as e:  # noqa: BLE001 — server-side failure:
+                    # reply 500 instead of aborting the connection
+                    self._reply(500, {'error': f'{type(e).__name__}: {e}'})
         return Handler
 
     def serve(self, host: str = '127.0.0.1', port: int = 8080,
@@ -465,6 +494,9 @@ def main(argv=None):
     ap.add_argument('--port', type=int, default=8080)
     ap.add_argument('--batch-size', type=int, default=256)
     ap.add_argument('--cpu', action='store_true')
+    ap.add_argument('--reload-dir', default=None,
+                    help='directory POST /reload may load models from '
+                         '(omitted = HTTP reload disabled)')
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -472,7 +504,7 @@ def main(argv=None):
         jax.config.update('jax_platforms', 'cpu')
 
     server = PredictServer(args.model, batch_size=args.batch_size,
-                           warmup=False)
+                           warmup=False, reload_dir=args.reload_dir)
     secs = server.warmup()
     print(f'[lcgp_tpu.serve] warm ({secs:.1f}s); '
           f'listening on {args.host}:{args.port}', flush=True)

@@ -242,6 +242,47 @@ class TestBlockedTriInverse:
                                        rtol=1e-8, atol=1e-10)
 
 
+class TestBlockedCholesky:
+    @pytest.mark.quick
+    def test_blocked_matches_xla(self):
+        """n >= 2 blocks triggers the blocked right-looking factorization;
+        values must equal jnp.linalg.cholesky to factorization roundoff,
+        including the identity-tail padding for non-divisible n."""
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg
+        rng = np.random.default_rng(3)
+        for n in (1024, 1100, 1536):
+            M = rng.standard_normal((2, n, 16))
+            A = jnp.asarray(M @ np.swapaxes(M, -1, -2) / 16
+                            + 2.0 * np.eye(n))
+            L_ref = np.asarray(jnp.linalg.cholesky(A))
+            L = np.asarray(linalg.cholesky(A))
+            np.testing.assert_allclose(L, L_ref, rtol=1e-10, atol=1e-12)
+            assert np.allclose(np.triu(L, 1), 0.0)
+
+    @pytest.mark.quick
+    def test_small_falls_back(self):
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg
+        rng = np.random.default_rng(4)
+        n = 96
+        M = rng.standard_normal((3, n, 8))
+        A = jnp.asarray(M @ np.swapaxes(M, -1, -2) / 8 + np.eye(n))
+        np.testing.assert_allclose(np.asarray(linalg.cholesky(A)),
+                                   np.asarray(jnp.linalg.cholesky(A)),
+                                   rtol=1e-12, atol=1e-14)
+
+    def test_not_psd_propagates_nan(self):
+        """Indefinite input must surface as NaN (the fit drivers map
+        non-finite losses to +inf), not silently produce garbage."""
+        import jax.numpy as jnp
+        from lcgp_tpu.ops import linalg
+        n = 1024
+        A = jnp.asarray(-np.eye(n))[None]
+        L = np.asarray(linalg.cholesky(A))
+        assert np.isnan(L).any()
+
+
 class TestStructuredTriProducts:
     """syrk_tri_lower / gram_tri_lower: the triangular-blocked strip GEMMs
     (n^3/3 flops) must match the dense products exactly up to accumulation

@@ -287,6 +287,61 @@ class TestAutoQChunk:
         m0 = LCGP(y=y, x=x, q=4, q_chunk=0)   # force unchunked
         assert m0.q_chunk is None
 
+    def test_env_budget_override(self, monkeypatch):
+        """LCGP_TPU_HBM_BUDGET_BYTES rescales the auto-chunk decisions."""
+        from lcgp_tpu.models.lcgp import LCGP
+        monkeypatch.setenv('LCGP_TPU_HBM_BUDGET_BYTES', '20e9')
+        assert LCGP._hbm_budget_bytes() == 20e9
+        # 2x budget: f64 headline config fits qc=10 ((8*10+20)*n^2*8 = 13.4GB)
+        assert LCGP._auto_q_chunk(20, 4096, 'high') == 10
+        monkeypatch.setenv('LCGP_TPU_HBM_BUDGET_BYTES', '2e9')
+        assert LCGP._auto_q_chunk(20, 4096, 'high') == 1
+
+    def test_probed_memory_stats_budget(self, monkeypatch):
+        """A device advertising a larger bytes_limit (e.g. v4's 32 GB)
+        gets a proportionally larger budget — auto-chunking adapts to
+        non-15.75GB parts by construction."""
+        import jax
+        from lcgp_tpu.models.lcgp import LCGP
+
+        class FakeDev:
+            platform = 'tpu'
+            device_kind = 'FakeTPU'
+
+            @staticmethod
+            def memory_stats():
+                return {'bytes_limit': 31.5e9}
+
+        monkeypatch.delenv('LCGP_TPU_HBM_BUDGET_BYTES', raising=False)
+        monkeypatch.setattr(jax, 'local_devices', lambda: [FakeDev()])
+        budget = LCGP._hbm_budget_bytes()
+        assert budget == LCGP._HBM_BUDGET_FRACTION * 31.5e9   # = 20 GB
+        assert LCGP._auto_q_chunk(20, 4096, 'high') == 10
+
+    def test_device_kind_table_fallback(self, monkeypatch):
+        """No memory_stats: the device-kind table supplies the HBM size."""
+        import jax
+        from lcgp_tpu.models.lcgp import LCGP
+
+        class FakeV4:
+            platform = 'tpu'
+            device_kind = 'TPU v4'
+
+            @staticmethod
+            def memory_stats():
+                return None
+
+        monkeypatch.delenv('LCGP_TPU_HBM_BUDGET_BYTES', raising=False)
+        monkeypatch.setattr(jax, 'local_devices', lambda: [FakeV4()])
+        assert (LCGP._hbm_budget_bytes()
+                == LCGP._HBM_BUDGET_FRACTION * 32e9)
+
+    def test_cpu_falls_back_to_default(self):
+        """conftest forces CPU: the probe must return the calibrated
+        default so test-suite chunk decisions stay deterministic."""
+        from lcgp_tpu.models.lcgp import LCGP
+        assert LCGP._hbm_budget_bytes() == LCGP._HBM_BUDGET_DEFAULT
+
 
 class TestMixedRefineRatchet:
     def test_loss_ratchets_refine_steps(self):

@@ -138,9 +138,27 @@ class TestHotReload:
             srv.reload(m2)
         srv.shutdown()
 
+    def test_http_reload_disabled_by_default(self, fitted_model):
+        """Without reload_dir=, POST /reload is a 403 (unauthenticated
+        endpoint loading client-named paths must be opt-in)."""
+        srv = PredictServer(fitted_model, batch_size=8, warmup=False)
+        httpd, _ = srv.serve(port=0, background=True)
+        port = httpd.server_address[1]
+        try:
+            req = urllib.request.Request(
+                f'http://127.0.0.1:{port}/reload',
+                data=b'{"path": "m.npz"}',
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 403
+        finally:
+            srv.shutdown()
+
     def test_http_reload(self, fitted_model, tmp_path):
         """POST /reload with a saved-model path swaps the served model."""
-        srv = PredictServer(fitted_model, batch_size=8, warmup=False)
+        srv = PredictServer(fitted_model, batch_size=8, warmup=False,
+                            reload_dir=str(tmp_path))
         httpd, _ = srv.serve(port=0, background=True)
         port = httpd.server_address[1]
         base = f'http://127.0.0.1:{port}'
@@ -166,13 +184,28 @@ class TestHotReload:
                 got = np.asarray(json.load(r)['ypred'])
             np.testing.assert_allclose(got, np.asarray(m2.predict(x0)[0]),
                                        rtol=1e-8)
-            # bad reload -> 400
+            # bad reload (missing file inside reload_dir) -> 400
             bad = urllib.request.Request(
-                base + '/reload', data=b'{"path": "/nonexistent.npz"}',
+                base + '/reload', data=b'{"path": "nonexistent.npz"}',
                 headers={'Content-Type': 'application/json'})
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(bad, timeout=30)
             assert ei.value.code == 400
+            # corrupt model file -> 400 (not an aborted connection)
+            (tmp_path / 'corrupt.npz').write_bytes(b'not a zipfile')
+            bad = urllib.request.Request(
+                base + '/reload', data=b'{"path": "corrupt.npz"}',
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=30)
+            assert ei.value.code == 400
+            # path escaping reload_dir -> 403
+            bad = urllib.request.Request(
+                base + '/reload', data=b'{"path": "../escape.npz"}',
+                headers={'Content-Type': 'application/json'})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=30)
+            assert ei.value.code == 403
         finally:
             srv.shutdown()
 

@@ -131,6 +131,38 @@ class TestModelMeshFit:
         np.testing.assert_allclose(float(m.loss()), float(m_single.loss()),
                                    rtol=1e-6)
 
+    def test_mesh_lbfgs_matches_single_device(self):
+        """Sharded L-BFGS (VERDICT r4 item 3): method='lbfgs-jax' and
+        'scipy' on the ('comp','out') mesh drive the single-device L-BFGS
+        loops through parallel.mesh.make_sharded_loss and must reach the
+        single-device fitted loss to 1e-8."""
+        import numpy as np
+        from lcgp_tpu import LCGP
+        rng = np.random.default_rng(13)
+        x = rng.uniform(0, 1, (40, 2))
+        y = rng.standard_normal((8, 40))
+        mesh = parallel.make_mesh(n_comp=4, n_out=2)
+
+        m_single = LCGP(y=y, x=x, q=4)
+        m_single.fit(method='lbfgs-jax', maxiter=120)
+        target = float(m_single.loss())
+
+        m = LCGP(y=y, x=x, q=4)
+        m.fit(mesh=mesh, method='lbfgs-jax', maxiter=120)
+        sharded = float(m.loss())
+        assert abs(sharded - target) / max(1.0, abs(target)) < 1e-8
+        # fitted params are gathered: predict works without the mesh
+        yp, ypv, _ = m.predict(x[:4])
+        assert np.isfinite(np.asarray(yp)).all()
+
+        m_sci_single = LCGP(y=y, x=x, q=4)
+        m_sci_single.fit(method='scipy', maxiter=80)
+        m_sci = LCGP(y=y, x=x, q=4)
+        m_sci.fit(mesh=mesh, method='scipy', maxiter=80)
+        np.testing.assert_allclose(
+            float(m_sci.loss()), float(m_sci_single.loss()),
+            rtol=1e-8, atol=1e-8)
+
     def test_mesh_fit_plateau_stops_early(self):
         import numpy as np
         from lcgp_tpu import LCGP
