@@ -118,8 +118,14 @@ def _assemble(p: dict) -> dict:
                 (1.0 / p['secs_rep64']) / base['rep_evals_per_sec_cpu'], 2)
     if p.get('secs_rep32'):
         out['rep_secs_per_eval_f32'] = round(p['secs_rep32'], 4)
+        if base.get('rep_evals_per_sec_cpu'):
+            out['rep_vs_baseline_f32'] = round(
+                (1.0 / p['secs_rep32']) / base['rep_evals_per_sec_cpu'], 2)
     if p.get('secs_rep_mx'):
         out['rep_secs_per_eval_mixed'] = round(p['secs_rep_mx'], 4)
+        if base.get('rep_evals_per_sec_cpu'):
+            out['rep_vs_baseline_mixed'] = round(
+                (1.0 / p['secs_rep_mx']) / base['rep_evals_per_sec_cpu'], 2)
     put('rep_q_chunk_f64', p.get('chunk_rep64'))
     put('rep_q_chunk_f32', p.get('chunk_rep32'))
     put('predict_aux_secs_f64', p.get('aux64'))
