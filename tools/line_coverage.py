@@ -1,98 +1,94 @@
-"""Minimal line-coverage measurement without coverage.py.
+"""Zero-dependency line-coverage harness (sys.monitoring, PEP 669).
 
-The CI coverage job (pytest-cov + Coveralls, .github/workflows/ci.yml)
-runs where pip is available; this tool exists to measure a number in
-hermetic environments (like the build sandbox) so the CI threshold
-(--cov-fail-under) can be set from data.  It uses py3.12's
-``sys.monitoring`` LINE events, disabling each line after its first hit,
-so the overhead on a long suite is a few percent, and approximates
-coverage.py's line metric: executed lines / executable lines, where
-executable lines are taken from each module's code objects (exactly the
-lines the interpreter could report, so the two metrics agree up to
-coverage.py's exclusion pragmas).
+CI measures coverage with pytest-cov, but this host cannot install it; this
+tool provides the local measurement the CI threshold (``--cov-fail-under`` in
+``.github/workflows/ci.yml``) is calibrated against.  It is a *line* coverage
+approximation: the denominator is every line emitted by the compiled code
+objects of each ``lcgp_tpu`` module (docstring-only lines included, so it
+reads slightly *lower* than coverage.py's statement coverage; branch coverage
+reads lower still — calibrate thresholds with margin).
 
-Usage:  python tools/line_coverage.py [pytest args...]
-        (defaults to: tests/ -q)
+Overhead is one event per (code, line) location: the callback returns
+``sys.monitoring.DISABLE`` after recording, so steady-state test code runs
+unmonitored.
 
-Prints per-file and total percentages, plus one final line
-``TOTAL_LINE_COVERAGE <pct>``.
+  PYTHONPATH=/root/repo python tools/line_coverage.py [pytest args...]
+
+Prints per-file and total coverage, then exits with pytest's exit code.
 """
 from __future__ import annotations
 
-import dis
+import json
 import os
 import sys
+from collections import defaultdict
 
-PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   'lcgp_tpu')
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(ROOT, 'lcgp_tpu')
 
-_hit: dict = {}
-TOOL = sys.monitoring.PROFILER_ID
+_hits: dict[str, set[int]] = defaultdict(set)
 
 
-def _on_line(code, lineno):
+def _on_line(code, line):
     fn = code.co_filename
     if fn.startswith(PKG):
-        _hit.setdefault(fn, set()).add(lineno)
+        _hits[fn].add(line)
     return sys.monitoring.DISABLE
 
 
-def _executable_lines(path):
-    """All line numbers the interpreter can attribute code to, from the
-    compiled module's (recursive) code objects."""
+def _install():
+    mon = sys.monitoring
+    mon.use_tool_id(mon.COVERAGE_ID, 'lcgp-linecov')
+    mon.register_callback(mon.COVERAGE_ID, mon.events.LINE, _on_line)
+    mon.set_events(mon.COVERAGE_ID, mon.events.LINE)
+
+
+def _possible_lines(path: str) -> set[int]:
+    """All line numbers the compiled module can emit LINE events for."""
     with open(path, encoding='utf-8') as f:
         src = f.read()
-    lines = set()
-
-    def walk(code):
-        for _, _, ln in code.co_lines():
-            if ln is not None:
-                lines.add(ln)
-        for const in code.co_consts:
-            if hasattr(const, 'co_lines'):
-                walk(const)
-    try:
-        walk(compile(src, path, 'exec'))
-    except SyntaxError:
-        return set()
-    # exclude lines that are just docstrings/pass-throughs the same way
-    # coverage.py does is out of scope; this is a measurement floor.
+    lines: set[int] = set()
+    todo = [compile(src, path, 'exec')]
+    while todo:
+        co = todo.pop()
+        lines.update(ln for _, _, ln in co.co_lines() if ln is not None)
+        todo.extend(c for c in co.co_consts if hasattr(c, 'co_lines'))
     return lines
 
 
-def main():
-    sys.monitoring.use_tool_id(TOOL, 'line_coverage')
-    sys.monitoring.register_callback(TOOL, sys.monitoring.events.LINE,
-                                     _on_line)
-    sys.monitoring.set_events(TOOL, sys.monitoring.events.LINE)
-
-    import pytest
-    args = sys.argv[1:] or ['tests/', '-q']
-    rc = pytest.main(args)
-
-    sys.monitoring.set_events(TOOL, 0)
-    sys.monitoring.free_tool_id(TOOL)
-
-    total_exec = total_hit = 0
+def report() -> float:
     rows = []
-    for root, _, files in os.walk(PKG):
-        for f in sorted(files):
-            if not f.endswith('.py'):
+    tot_hit = tot_all = 0
+    for dirpath, _dirs, files in os.walk(PKG):
+        for name in sorted(files):
+            if not name.endswith('.py'):
                 continue
-            path = os.path.join(root, f)
-            ex = _executable_lines(path)
-            if not ex:
-                continue
-            hit = _hit.get(path, set()) & ex
-            total_exec += len(ex)
-            total_hit += len(hit)
-            rows.append((path[len(PKG) + 1:], len(hit), len(ex)))
-    for name, h, e in rows:
-        print(f'{name:40s} {h:5d}/{e:5d}  {100.0 * h / e:5.1f}%')
-    pct = 100.0 * total_hit / max(1, total_exec)
-    print(f'TOTAL_LINE_COVERAGE {pct:.1f}')
-    return rc
+            path = os.path.join(dirpath, name)
+            possible = _possible_lines(path)
+            hit = _hits.get(path, set()) & possible
+            tot_hit += len(hit)
+            tot_all += len(possible)
+            pct = 100.0 * len(hit) / len(possible) if possible else 100.0
+            rows.append((os.path.relpath(path, ROOT), len(hit),
+                         len(possible), round(pct, 1)))
+    rows.sort(key=lambda r: r[3])
+    print('\n== line coverage (sys.monitoring approximation) ==')
+    for rel, h, a, pct in rows:
+        print(f'{pct:6.1f}%  {h:5d}/{a:<5d}  {rel}')
+    total = 100.0 * tot_hit / tot_all if tot_all else 100.0
+    print(f'TOTAL {total:.1f}%  ({tot_hit}/{tot_all} lines)')
+    print(json.dumps({'line_coverage_pct': round(total, 1),
+                      'lines_hit': tot_hit, 'lines_total': tot_all}))
+    return total
+
+
+def main():
+    _install()
+    import pytest
+    rc = pytest.main(sys.argv[1:] or ['tests/', '-q'])
+    report()
+    sys.exit(int(rc))
 
 
 if __name__ == '__main__':
-    sys.exit(main())
+    main()
