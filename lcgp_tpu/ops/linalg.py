@@ -23,10 +23,18 @@ def add_diag(mats, vals):
 
 
 def cholesky(mats):
-    """Batched lower Cholesky (blocked right-looking at large n —
-    :func:`cholesky_blocked`; XLA's native Cholesky serializes on its
-    panel loop, catastrophically so in emulated f64)."""
-    return cholesky_blocked(mats)
+    """Batched lower Cholesky.
+
+    f64 routes through :func:`cholesky_blocked` — XLA's native Cholesky
+    serializes on its fine-grained panel loop, catastrophically so in
+    emulated f64 (round-5 profile: the forward factorization was 10.1 s of
+    the 11.36 s/eval at the headline n=4096, q=20 config).  f32 keeps XLA's
+    native factorization: its panel loop runs at full f32 rate and beat the
+    blocked GEMM form in the round-2 A/B (75 vs 89.5 ms at the same config;
+    benchmarks/blocked_chol.py)."""
+    if mats.dtype == jnp.float64:
+        return cholesky_blocked(mats)
+    return jnp.linalg.cholesky(mats)
 
 
 _CHOL_BLOCK = 512
@@ -36,23 +44,29 @@ def cholesky_blocked(A, block: int | None = None):
     """Batched lower Cholesky via right-looking block factorization.
 
     XLA's ``cholesky`` runs a fine-grained panel loop whose per-step
-    triangular work cannot tile onto the MXU; in emulated f64 it is the
-    single dominant cost of a loss evaluation (round-5 profile: 10.1 s of
-    the 11.36 s/eval at n=4096, q=20 — the forward factorization outweighed
-    the 2x-flops blocked backward eight-fold).  This variant does the
-    O(n^3) work as batched GEMMs instead:
+    triangular work cannot tile onto the MXU; in emulated f64 it dominates
+    a loss evaluation.  This variant does the O(n^3) work as batched GEMMs
+    on the MXU's emulated-f64 path (measured ~0.3-1.4 TFLOP/s) instead:
 
-      for each nb-block k:  Lkk = chol(Tkk)                (small, batched)
-                            panel = T[k+1:, k] Lkk^{-T}    (one GEMM)
-                            T[i, k+1..i] -= p_i p_{k+1..i}^T  (strip GEMMs)
+      for each nb-block:  Lkk   = chol(trail[:nb, :nb])   (small, batched)
+                          panel = trail[nb:, :nb] Lkk^{-T} (one GEMM)
+                          trail = trail[nb:, nb:] - panel panel^T (one GEMM)
 
-    The strip-wise trailing update touches only the block-lower triangle:
-    n^3/3 total GEMM flops — the Cholesky flop count, on the MXU's
-    emulated-f64 path (measured ~0.3-1.4 TFLOP/s) instead of XLA's panel
-    substitutions.  Values agree with ``jnp.linalg.cholesky`` to the
-    factorization's backward error (same algorithm at block granularity).
-    Non-block-divisible n pads with an identity tail (chol([[A,0],[0,I]])
-    = [[L,0],[0,I]]); n < 2 blocks falls back to XLA's native Cholesky.
+    The trailing update is one square GEMM per block step on a functionally
+    SHRINKING trailing matrix, and the factor is assembled by concatenation.
+    This costs 2n^3/3 GEMM flops — 2x the strip-triangular-update Cholesky
+    count — but every in-place formulation measured worse: `.at[].set`
+    panel updates on the full (q,n,n) buffer make XLA materialize
+    whole-buffer copies per step (round-2 finding, f32_breakdown.py), and a
+    strip-GEMM `.at[].add` variant with the ideal n^3/3 count stalled the
+    remote compile for 30+ minutes at the headline config (round 5).  The
+    2x flops are noise: at 1.4 TFLOP/s the trailing GEMMs cost ~0.2 s per
+    (5,4096,4096) chunk vs the ~10 s XLA factorization they replace.
+
+    Values agree with ``jnp.linalg.cholesky`` to the factorization's
+    backward error (same algorithm at block granularity).  Non-block-
+    divisible n pads with an identity tail (chol([[A,0],[0,I]]) =
+    [[L,0],[0,I]]); n < 2 blocks falls back to XLA's native Cholesky.
     """
     n = A.shape[-1]
     nb = block or _CHOL_BLOCK
@@ -64,30 +78,23 @@ def cholesky_blocked(A, block: int | None = None):
                                 jnp.ones((np_ - n,), dtype=A.dtype)])
         Ap = _pad_nn(A, np_) + tail * jnp.eye(np_, dtype=A.dtype)
         return cholesky_blocked(Ap, block=nb)[..., :n, :n]
-    nd = n // nb
     batch = A.shape[:-2]
     eye = jnp.broadcast_to(jnp.eye(nb, dtype=A.dtype), batch + (nb, nb))
-    L = jnp.zeros_like(A)
-    T = A
-    for k in range(nd):
-        ck = slice(k * nb, (k + 1) * nb)
-        Lkk = jnp.linalg.cholesky(T[..., ck, ck])
-        L = L.at[..., ck, ck].set(Lkk)
-        if k + 1 == nd:
+    cols = []
+    trail = A
+    for k in range(0, n, nb):
+        Lkk = jnp.linalg.cholesky(trail[..., :nb, :nb])
+        above = jnp.zeros(batch + (k, nb), dtype=A.dtype)
+        if k + nb == n:
+            cols.append(jnp.concatenate([above, Lkk], axis=-2))
             break
-        rest = slice((k + 1) * nb, n)
         Lkk_inv = solve_tri_lower(Lkk, eye)
-        panel = jnp.matmul(T[..., rest, ck],
+        panel = jnp.matmul(trail[..., nb:, :nb],
                            jnp.swapaxes(Lkk_inv, -1, -2))
-        L = L.at[..., rest, ck].set(panel)
-        for i in range(k + 1, nd):
-            ci = slice(i * nb, (i + 1) * nb)
-            span = slice((k + 1) * nb, (i + 1) * nb)
-            pi = panel[..., (i - k - 1) * nb:(i - k) * nb, :]
-            pj = panel[..., :(i - k) * nb, :]
-            T = T.at[..., ci, span].add(
-                -jnp.matmul(pi, jnp.swapaxes(pj, -1, -2)))
-    return L
+        cols.append(jnp.concatenate([above, Lkk, panel], axis=-2))
+        trail = trail[..., nb:, nb:] - jnp.matmul(
+            panel, jnp.swapaxes(panel, -1, -2))
+    return jnp.concatenate(cols, axis=-1)
 
 
 def chol_logdet(chols):
