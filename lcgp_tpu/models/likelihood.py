@@ -59,6 +59,27 @@ def _factor_inverse(L, compute_dtype):
         # 1e-8 criterion).
         return mixed_ops.chol_inverse_from_factor_mixed(L, newton_steps=0)
     return linalg.chol_inverse(L)
+
+
+def _use_inv_flow(compute_dtype, dt) -> bool:
+    """True when the loss terms run the f64 inverse-residual flow.
+
+    f64 (round 5): the forward computes ``Linv = L^{-1}`` explicitly and
+    gets the dual vector by two batched matvecs, saving ``Linv`` (not
+    ``L``) as the VJP residual — the backward's potri then needs only the
+    ``Linv^T Linv`` combination GEMM.  Rationale, measured at the
+    headline config (benchmarks/fwd_stages.py): the 1-rhs
+    ``cho_solve_vec`` is latency-bound substitution at 0.21 s per
+    (5,4096,4096) chunk while the blocked ``tri_inverse_lower`` is
+    0.09 s, and the backward previously recomputed that same triangular
+    inverse.  Same peak memory (the residual swaps L for Linv).
+
+    f32 keeps the substitution flow: its native solves are fast, and the
+    backward's potri seed runs at bf16_3x where recomputing the inverse
+    is cheap.  Mixed keeps it too (the refined solve is part of the
+    f64-grade loss contract).
+    """
+    return (not mixed_ops.is_mixed(compute_dtype)) and dt == jnp.float64
 from . import params as P
 
 
@@ -164,21 +185,31 @@ def _full_terms_fwd_impl(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
                            diag_vec=diag_vec, compute_dtype=compute_dtype,
                            kind=kernel)
     LB = _factor(B, compute_dtype)
-    w = _factor_solve_vec(LB, B, a.astype(LB.dtype), compute_dtype)
+    logdet = linalg.chol_logdet(LB)
+    if _use_inv_flow(compute_dtype, LB.dtype):
+        # f64: explicit triangular inverse once; w by two matvecs; the
+        # residual carries Linv so the backward skips its tri_inverse
+        # (see _use_inv_flow).
+        fac = linalg.tri_inverse_lower(LB)
+        w = _bmv(jnp.swapaxes(fac, -1, -2),
+                 _bmv(fac, a.astype(LB.dtype)))
+    else:
+        fac = LB
+        w = _factor_solve_vec(LB, B, a.astype(LB.dtype), compute_dtype)
     Dm = D.astype(LB.dtype)
     Cw = (a.astype(LB.dtype) - (1.0 + jitter) * w) / Dm[:, None]
     # n-length reductions accumulate in f64 (loss resolution at large n)
     quad = jnp.sum((a.astype(LB.dtype) * Cw).astype(jnp.float64), axis=-1)
-    terms = 0.5 * linalg.chol_logdet(LB) - 0.5 * quad
+    terms = 0.5 * logdet - 0.5 * quad
     # mixed: the backward's inverse is seeded from the f32 cast of the
     # factor alone (_factor_inverse, newton_steps=0), so storing the (n,n)
     # residual in f32 is value-identical and halves the cross-chunk
     # residual footprint — the binding term at the single-chip exact
     # ceiling (q_chunk=1 holds every other chunk's factor live through
     # each forward).
-    LB_res = LB.astype(jnp.float32) if mixed_ops.is_mixed(compute_dtype) \
-        else LB
-    return terms, (xs, lLmb, lLmb0, lnug, D, a, LB_res, w)
+    fac_res = fac.astype(jnp.float32) if mixed_ops.is_mixed(compute_dtype) \
+        else fac
+    return terms, (xs, lLmb, lLmb0, lnug, D, a, fac_res, w)
 
 
 def _full_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
@@ -188,14 +219,18 @@ def _full_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
 
 
 def _full_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
-    xs, lLmb, lLmb0, lnug, D, a, LB, w = res
-    dt = w.dtype  # model dtype for the O(q n) vector math (LB may be the
+    xs, lLmb, lLmb0, lnug, D, a, fac, w = res
+    dt = w.dtype  # model dtype for the O(q n) vector math (fac may be the
     # f32-stored mixed residual; w always carries the model dtype)
     # mixed: the gradient-side (q,n,n) work (inverse cotangent assembly +
     # kernel VJP elementwise passes) runs in f32 — see _factor_inverse
     vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else dt
     Dm = D.astype(vdt)
-    Binv = _factor_inverse(LB, compute_dtype).astype(vdt)
+    if _use_inv_flow(compute_dtype, fac.dtype):
+        # fac is Linv (f64 flow): only the potri combination GEMM remains
+        Binv = linalg.gram_tri_lower(fac).astype(vdt)
+    else:
+        Binv = _factor_inverse(fac, compute_dtype).astype(vdt)
     tb = tbar.astype(vdt)
     w_v = w.astype(vdt)
     Cbar = tb[:, None, None] * (0.5 * Dm[:, None, None] * Binv
@@ -239,17 +274,25 @@ def _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
                            diag_vec=diag_vec, compute_dtype=compute_dtype,
                            kind=kernel)
     LT = _factor(A, compute_dtype)
-    u = _factor_solve_vec(LT, A, lam * b.astype(dt), compute_dtype)
+    chol_ld = linalg.chol_logdet(LT)
+    if _use_inv_flow(compute_dtype, LT.dtype):
+        # f64 inverse-residual flow — see _use_inv_flow
+        fac = linalg.tri_inverse_lower(LT)
+        u = _bmv(jnp.swapaxes(fac, -1, -2),
+                 _bmv(fac, lam * b.astype(dt)))
+    else:
+        fac = LT
+        u = _factor_solve_vec(LT, A, lam * b.astype(dt), compute_dtype)
     Cu = lam * b.astype(dt) - diag_vec * u                  # S b
     logdetA = (jnp.sum(jnp.log(Dc[:, None] * r2[None, :])
                        .astype(jnp.float64), axis=-1)
-               + linalg.chol_logdet(LT))
+               + chol_ld)
     terms = (-0.5 * jnp.sum((b.astype(dt) * Cu).astype(jnp.float64), axis=-1)
              + 0.5 * logdetA)
     # f32 residual factor for mixed — see _full_terms_fwd_impl
-    LT_res = LT.astype(jnp.float32) if mixed_ops.is_mixed(compute_dtype) \
-        else LT
-    return terms, (xs, sr, lLmb, lLmb0, lnug, D, b, LT_res, u, Cu)
+    fac_res = fac.astype(jnp.float32) if mixed_ops.is_mixed(compute_dtype) \
+        else fac
+    return terms, (xs, sr, lLmb, lLmb0, lnug, D, b, fac_res, u, Cu)
 
 
 def _rep_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
@@ -259,10 +302,13 @@ def _rep_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
 
 
 def _rep_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
-    xs, sr, lLmb, lLmb0, lnug, D, b, LT, u, Cu = res
-    dt = u.dtype  # model dtype (LT may be the f32-stored mixed residual)
+    xs, sr, lLmb, lLmb0, lnug, D, b, fac, u, Cu = res
+    dt = u.dtype  # model dtype (fac may be the f32-stored mixed residual)
     vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else dt
-    Tinv = _factor_inverse(LT, compute_dtype).astype(vdt)  # (C + Lam)^{-1}
+    if _use_inv_flow(compute_dtype, fac.dtype):
+        Tinv = linalg.gram_tri_lower(fac).astype(vdt)      # (C + Lam)^{-1}
+    else:
+        Tinv = _factor_inverse(fac, compute_dtype).astype(vdt)
     tb = tbar.astype(vdt)
     u_v = u.astype(vdt)
     Cbar = tb[:, None, None] * (0.5 * Tinv
