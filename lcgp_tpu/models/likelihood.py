@@ -184,18 +184,19 @@ def _full_terms_fwd_impl(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
     B = gram_factor_target(xs, lLmb, lLmb0, lnug, row_scale=D,
                            diag_vec=diag_vec, compute_dtype=compute_dtype,
                            kind=kernel)
-    LB = _factor(B, compute_dtype)
-    logdet = linalg.chol_logdet(LB)
-    if _use_inv_flow(compute_dtype, LB.dtype):
-        # f64: explicit triangular inverse once; w by two matvecs; the
+    if _use_inv_flow(compute_dtype, B.dtype):
+        # f64: fused factor+inverse (the blocked Cholesky's diagonal-block
+        # inverses feed the triangular inversion); w by two matvecs; the
         # residual carries Linv so the backward skips its tri_inverse
         # (see _use_inv_flow).
-        fac = linalg.tri_inverse_lower(LB)
+        LB, fac = linalg.cholesky_tri_inverse(B)
         w = _bmv(jnp.swapaxes(fac, -1, -2),
                  _bmv(fac, a.astype(LB.dtype)))
     else:
+        LB = _factor(B, compute_dtype)
         fac = LB
         w = _factor_solve_vec(LB, B, a.astype(LB.dtype), compute_dtype)
+    logdet = linalg.chol_logdet(LB)
     Dm = D.astype(LB.dtype)
     Cw = (a.astype(LB.dtype) - (1.0 + jitter) * w) / Dm[:, None]
     # n-length reductions accumulate in f64 (loss resolution at large n)
@@ -273,16 +274,16 @@ def _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
     A = gram_factor_target(xs, lLmb, lLmb0, lnug, row_scale=ones,
                            diag_vec=diag_vec, compute_dtype=compute_dtype,
                            kind=kernel)
-    LT = _factor(A, compute_dtype)
-    chol_ld = linalg.chol_logdet(LT)
-    if _use_inv_flow(compute_dtype, LT.dtype):
-        # f64 inverse-residual flow — see _use_inv_flow
-        fac = linalg.tri_inverse_lower(LT)
+    if _use_inv_flow(compute_dtype, A.dtype):
+        # f64 fused factor+inverse-residual flow — see _use_inv_flow
+        LT, fac = linalg.cholesky_tri_inverse(A)
         u = _bmv(jnp.swapaxes(fac, -1, -2),
                  _bmv(fac, lam * b.astype(dt)))
     else:
+        LT = _factor(A, compute_dtype)
         fac = LT
         u = _factor_solve_vec(LT, A, lam * b.astype(dt), compute_dtype)
+    chol_ld = linalg.chol_logdet(LT)
     Cu = lam * b.astype(dt) - diag_vec * u                  # S b
     logdetA = (jnp.sum(jnp.log(Dc[:, None] * r2[None, :])
                        .astype(jnp.float64), axis=-1)

@@ -78,23 +78,66 @@ def cholesky_blocked(A, block: int | None = None):
                                 jnp.ones((np_ - n,), dtype=A.dtype)])
         Ap = _pad_nn(A, np_) + tail * jnp.eye(np_, dtype=A.dtype)
         return cholesky_blocked(Ap, block=nb)[..., :n, :n]
+    L, _ = _cholesky_blocked_impl(A, nb, want_invs=False)
+    return L
+
+
+def _cholesky_blocked_impl(A, nb, want_invs):
+    """Shared blocked-factorization loop.
+
+    Returns (L, invs) where invs is the list of per-step diagonal-block
+    triangular inverses (computed anyway for the panel GEMMs) when
+    ``want_invs`` — the fused factor+inverse path reuses them — else None.
+    """
+    n = A.shape[-1]
     batch = A.shape[:-2]
     eye = jnp.broadcast_to(jnp.eye(nb, dtype=A.dtype), batch + (nb, nb))
     cols = []
+    invs = [] if want_invs else None
     trail = A
     for k in range(0, n, nb):
         Lkk = jnp.linalg.cholesky(trail[..., :nb, :nb])
         above = jnp.zeros(batch + (k, nb), dtype=A.dtype)
         if k + nb == n:
+            if want_invs:
+                invs.append(solve_tri_lower(Lkk, eye))
             cols.append(jnp.concatenate([above, Lkk], axis=-2))
             break
         Lkk_inv = solve_tri_lower(Lkk, eye)
+        if want_invs:
+            invs.append(Lkk_inv)
         panel = jnp.matmul(trail[..., nb:, :nb],
                            jnp.swapaxes(Lkk_inv, -1, -2))
         cols.append(jnp.concatenate([above, Lkk, panel], axis=-2))
         trail = trail[..., nb:, nb:] - jnp.matmul(
             panel, jnp.swapaxes(panel, -1, -2))
-    return jnp.concatenate(cols, axis=-1)
+    return jnp.concatenate(cols, axis=-1), invs
+
+
+def cholesky_tri_inverse(A, block: int | None = None):
+    """Fused batched (L, L^{-1}) for SPD A.
+
+    The blocked f64 Cholesky already inverts every diagonal block for its
+    panel GEMMs; ``tri_inverse_lower`` run separately would re-invert the
+    same blocks (8 batched triangular solves at the headline config).
+    This fusion factors once, keeps those inverses, and runs only the
+    off-diagonal combination GEMMs of the blocked triangular inversion.
+    Non-f64 dtypes and small n fall back to the unfused pair (XLA's
+    native Cholesky wins there — see :func:`cholesky`)."""
+    n = A.shape[-1]
+    nb = block or _CHOL_BLOCK
+    if A.dtype != jnp.float64 or n < 2 * nb:
+        L = cholesky(A)
+        return L, tri_inverse_lower(L)
+    if n % nb:
+        np_ = _next_mult(n, nb)
+        tail = jnp.concatenate([jnp.zeros((n,), dtype=A.dtype),
+                                jnp.ones((np_ - n,), dtype=A.dtype)])
+        Ap = _pad_nn(A, np_) + tail * jnp.eye(np_, dtype=A.dtype)
+        L, X = cholesky_tri_inverse(Ap, block=nb)
+        return L[..., :n, :n], X[..., :n, :n]
+    L, invs = _cholesky_blocked_impl(A, nb, want_invs=True)
+    return L, _tri_inverse_combine(L, invs, nb)
 
 
 def chol_logdet(chols):
@@ -162,6 +205,14 @@ def tri_inverse_lower(chols):
     invs = [solve_tri_lower(chols[..., k * nb:(k + 1) * nb,
                                   k * nb:(k + 1) * nb], eye)
             for k in range(nd)]
+    return _tri_inverse_combine(chols, invs, nb)
+
+
+def _tri_inverse_combine(chols, invs, nb):
+    """Off-diagonal combination of the blocked triangular inversion, given
+    the per-block diagonal inverses (shared with the fused
+    :func:`cholesky_tri_inverse`)."""
+    nd = chols.shape[-1] // nb
     X = jnp.zeros_like(chols)
     for k in range(nd):
         ck = slice(k * nb, (k + 1) * nb)
