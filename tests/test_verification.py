@@ -166,8 +166,8 @@ class TestVerifierWalkthrough:
                                       lnug[k]))                  # (1, n)
             c00k = float(np.asarray(matern32_diag(
                 x0_s, lLmb0[k:k + 1]))[0, 0])
-            ghat[k] = float(c0k @ CinvM[k])                      # mean
-            gvar[k] = c00k - float(c0k @ Tks[k] @ c0k.T)         # variance
+            ghat[k] = float((c0k @ CinvM[k])[0])                 # mean
+            gvar[k] = c00k - float((c0k @ Tks[k] @ c0k.T)[0, 0])  # variance
 
         # latent -> output space (reference lcgp.py:902-926: the
         # recombination matrix is Psi = phi * sqrt(sigma_used), the
