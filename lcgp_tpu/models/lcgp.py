@@ -639,8 +639,12 @@ class LCGP:
         """Pick the component-chunk size so the loss+grad working set fits
         HBM.  Peak model (validated against measured-feasible chunks at the
         n=4096/q=20 headline config, both dtypes): ~8 transient (qc,n,n)
-        stacks during the chunk's forward+backward plus the stored (q,n,n)
-        Cholesky residuals -> (8*qc + q) * n^2 * itemsize."""
+        stacks during the chunk's forward+backward plus a (q,n,n) residual
+        term -> (8*qc + q) * n^2 * itemsize.  Since the gradient-in-forward
+        VJP restructure (models/likelihood.py round 5) the cross-chunk
+        residuals are O(q n) vectors, so the +q*n^2 term is headroom for
+        the forward's extra live stack (C0) plus margin — the model stays
+        a safe upper bound and its headline decisions are unchanged."""
         itemsize = 4 if precision == 'fast' else 8
         budget = cls._hbm_budget_bytes()
 

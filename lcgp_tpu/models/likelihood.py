@@ -62,22 +62,22 @@ def _factor_inverse(L, compute_dtype):
 
 
 def _use_inv_flow(compute_dtype, dt) -> bool:
-    """True when the loss terms run the f64 inverse-residual flow.
+    """True when the loss terms run the f64 inverse flow.
 
     f64 (round 5): the forward computes ``Linv = L^{-1}`` explicitly and
-    gets the dual vector by two batched matvecs, saving ``Linv`` (not
-    ``L``) as the VJP residual — the backward's potri then needs only the
-    ``Linv^T Linv`` combination GEMM.  Rationale, measured at the
-    headline config (benchmarks/fwd_stages.py): the 1-rhs
-    ``cho_solve_vec`` is latency-bound substitution at 0.21 s per
-    (5,4096,4096) chunk while the blocked ``tri_inverse_lower`` is
-    0.09 s, and the backward previously recomputed that same triangular
-    inverse.  Same peak memory (the residual swaps L for Linv).
+    gets the dual vector by two batched matvecs; the gradient pass (also
+    in the forward — see the gradient-in-forward note below) reuses
+    ``Linv`` so its potri needs only the ``Linv^T Linv`` combination
+    GEMM.  Rationale, measured at the headline config
+    (benchmarks/fwd_stages.py): the 1-rhs ``cho_solve_vec`` is
+    latency-bound substitution at 0.21 s per (5,4096,4096) chunk while
+    the blocked ``tri_inverse_lower`` is 0.09 s, and the gradient pass
+    needs that same triangular inverse anyway.
 
     f32 keeps the substitution flow: its native solves are fast, and the
-    backward's potri seed runs at bf16_3x where recomputing the inverse
-    is cheap.  Mixed keeps it too (the refined solve is part of the
-    f64-grade loss contract).
+    potri seed runs at bf16_3x where computing the inverse is cheap.
+    Mixed keeps it too (the refined solve is part of the f64-grade loss
+    contract).
     """
     return (not mixed_ops.is_mixed(compute_dtype)) and dt == jnp.float64
 from . import params as P
@@ -121,9 +121,11 @@ def _map_components(body, stacks, q_chunk):
     in HBM).  Otherwise the stacks are reshaped to (q/q_chunk, q_chunk, ...)
     and body is lax.map'ed chunk by chunk, bounding the per-chunk transients
     (Gram, B, inverse, cotangent) to q_chunk stacks.  The bodies are
-    custom-VJP terms whose saved residuals are just the Cholesky factor and
-    one solve vector, so no rematerialization wrapper is needed — the
-    backward never recomputes the Gram build or the factorization.
+    custom-VJP terms that compute their gradient primitives in the forward
+    (gradient-in-forward — see the component-terms note below), so the
+    residuals carried across chunks are O(q n) vectors, not (q,n,n)
+    stacks, and the backward never recomputes the Gram build or the
+    factorization.
     """
     if q_chunk is None:
         return body(stacks)
@@ -158,8 +160,17 @@ def _map_components(body, stacks, q_chunk):
 #          effective eps at large fitted amplitudes — and shares one
 #          Cholesky between the loss and the predict path.
 #
-# The Gram cotangent then chains through the analytic kernel VJP
-# (ops.gram.gram_vjp).  Peak backward memory: ~4 stacks instead of ~15-20.
+# GRADIENT-IN-FORWARD (round 5): each component's output is a scalar, so
+# its cotangent ``tbar_k`` enters every gradient linearly — the whole
+# contraction (inverse assembly, Gram cotangent, kernel VJP) can run in
+# the custom-VJP *forward*, where the Gram's raw correlation stack C0 is
+# still live (gram_vjp's rebuild — d elementwise passes + one emulated-f64
+# exp — is skipped), and the backward is just per-component scaling by
+# tbar.  Residuals shrink from O(q n^2) (the stored factors) to O(q (n+d))
+# gradient primitives, so lax.map chunking no longer accumulates (q,n,n)
+# buffers across chunks at all.  For the standard jax.grad/value_and_grad
+# call (tbar = 1) the values are bitwise-identical to contracting in the
+# backward.
 # ---------------------------------------------------------------------------
 
 
@@ -171,7 +182,7 @@ def _full_terms(compute_dtype, jitter, kernel, xs, lLmb, lLmb0, lnug, D, a):
 
 
 def _full_terms_fwd_impl(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
-                         lnug, D, a):
+                         lnug, D, a, want_grad: bool = False):
     # Build the factorization target B = D C + (1+jitter) I directly (fused
     # Pallas epilogue on the f32 TPU path); C itself is never materialized —
     # the quad term uses the exact identity C w = (a - (1+jitter) w) / D
@@ -181,14 +192,14 @@ def _full_terms_fwd_impl(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
                                mixed_ops.is_mixed(compute_dtype)) \
         else jnp.dtype(compute_dtype)
     diag_vec = jnp.full((D.shape[0], n), 1.0 + jitter, dtype=dt)
-    B = gram_factor_target(xs, lLmb, lLmb0, lnug, row_scale=D,
-                           diag_vec=diag_vec, compute_dtype=compute_dtype,
-                           kind=kernel)
+    built = gram_factor_target(xs, lLmb, lLmb0, lnug, row_scale=D,
+                               diag_vec=diag_vec, compute_dtype=compute_dtype,
+                               kind=kernel, want_c0=want_grad)
+    B, C0 = built if want_grad else (built, None)
     if _use_inv_flow(compute_dtype, B.dtype):
         # f64: fused factor+inverse (the blocked Cholesky's diagonal-block
         # inverses feed the triangular inversion); w by two matvecs; the
-        # residual carries Linv so the backward skips its tri_inverse
-        # (see _use_inv_flow).
+        # gradient pass reuses Linv for its potri (see _use_inv_flow).
         LB, fac = linalg.cholesky_tri_inverse(B)
         w = _bmv(jnp.swapaxes(fac, -1, -2),
                  _bmv(fac, a.astype(LB.dtype)))
@@ -202,49 +213,43 @@ def _full_terms_fwd_impl(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
     # n-length reductions accumulate in f64 (loss resolution at large n)
     quad = jnp.sum((a.astype(LB.dtype) * Cw).astype(jnp.float64), axis=-1)
     terms = 0.5 * logdet - 0.5 * quad
-    # mixed: the backward's inverse is seeded from the f32 cast of the
-    # factor alone (_factor_inverse, newton_steps=0), so storing the (n,n)
-    # residual in f32 is value-identical and halves the cross-chunk
-    # residual footprint — the binding term at the single-chip exact
-    # ceiling (q_chunk=1 holds every other chunk's factor live through
-    # each forward).
-    fac_res = fac.astype(jnp.float32) if mixed_ops.is_mixed(compute_dtype) \
-        else fac
-    return terms, (xs, lLmb, lLmb0, lnug, D, a, fac_res, w)
+    if not want_grad:
+        return terms, None
+    # Gradient primitives (tbar-linear).  mixed: the (q,n,n) gradient work
+    # (inverse cotangent assembly + kernel-VJP elementwise passes) runs in
+    # f32 — see _factor_inverse; the inverse is seeded from the f32 cast
+    # of the factor (value-identical to the old f32-stored residual).
+    vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else LB.dtype
+    if _use_inv_flow(compute_dtype, B.dtype):
+        # fac is Linv (f64 flow): only the potri combination GEMM remains
+        Binv = linalg.gram_tri_lower(fac).astype(vdt)
+    else:
+        fac_seed = fac.astype(jnp.float32) \
+            if mixed_ops.is_mixed(compute_dtype) else fac
+        Binv = _factor_inverse(fac_seed, compute_dtype).astype(vdt)
+    w_v = w.astype(vdt)
+    cbar0 = (0.5 * Dm.astype(vdt)[:, None, None] * Binv
+             - 0.5 * w_v[:, :, None] * w_v[:, None, :])
+    glens0, gamp0, gnug0 = gram_vjp(xs, xs, lLmb, lLmb0, lnug, same=True,
+                                    cbar=cbar0, kind=kernel, c0=C0)
+    abar0 = (-Cw).astype(a.dtype)
+    return terms, (xs, D, glens0, gamp0, gnug0, abar0)
 
 
 def _full_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, lLmb, lLmb0,
                         lnug, D, a):
     return _full_terms_fwd_impl(compute_dtype, jitter, kernel, xs,
-                                lLmb, lLmb0, lnug, D, a)
+                                lLmb, lLmb0, lnug, D, a, want_grad=True)
 
 
 def _full_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
-    xs, lLmb, lLmb0, lnug, D, a, fac, w = res
-    dt = w.dtype  # model dtype for the O(q n) vector math (fac may be the
-    # f32-stored mixed residual; w always carries the model dtype)
-    # mixed: the gradient-side (q,n,n) work (inverse cotangent assembly +
-    # kernel VJP elementwise passes) runs in f32 — see _factor_inverse
-    vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else dt
-    Dm = D.astype(vdt)
-    if _use_inv_flow(compute_dtype, fac.dtype):
-        # fac is Linv (f64 flow): only the potri combination GEMM remains
-        Binv = linalg.gram_tri_lower(fac).astype(vdt)
-    else:
-        Binv = _factor_inverse(fac, compute_dtype).astype(vdt)
-    tb = tbar.astype(vdt)
-    w_v = w.astype(vdt)
-    Cbar = tb[:, None, None] * (0.5 * Dm[:, None, None] * Binv
-                                - 0.5 * w_v[:, :, None] * w_v[:, None, :])
-    glens, gamp, gnug = gram_vjp(xs, xs, lLmb, lLmb0, lnug, same=True,
-                                 cbar=Cbar, kind=kernel)
-    # C w = (a - (1+jitter) w) / D  (from B w = a, B = D C + (1+jitter) I);
-    # O(q n) — stays in the factor dtype
-    Cw = (a.astype(dt) - (1.0 + jitter) * w) / D.astype(dt)[:, None]
-    abar = (-tbar.astype(dt)[:, None] * Cw).astype(a.dtype)
-    return (jnp.zeros_like(xs), glens.astype(lLmb.dtype),
-            gamp.astype(lLmb0.dtype), gnug.astype(lnug.dtype),
-            jnp.zeros_like(D), abar)
+    xs, D, glens0, gamp0, gnug0, abar0 = res
+    return (jnp.zeros_like(xs),
+            tbar.astype(glens0.dtype)[:, None] * glens0,
+            tbar.astype(gamp0.dtype) * gamp0,
+            tbar.astype(gnug0.dtype) * gnug0,
+            jnp.zeros_like(D),
+            tbar.astype(abar0.dtype)[:, None] * abar0)
 
 
 _full_terms.defvjp(_full_terms_vjp_fwd, _full_terms_vjp_bwd)
@@ -258,7 +263,7 @@ def _rep_terms(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0, lnug, D, b):
 
 
 def _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
-                        lnug, D, b):
+                        lnug, D, b, want_grad: bool = False):
     dt = jnp.asarray(xs).dtype if (compute_dtype is None or
                                mixed_ops.is_mixed(compute_dtype)) \
         else jnp.dtype(compute_dtype)
@@ -271,9 +276,10 @@ def _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
     # A = C + diag(lam + jit) built directly (fused Pallas epilogue on the
     # f32 TPU path); C u recovers via C u = lam b - (lam + jit) u from A u.
     ones = jnp.ones_like(Dc)
-    A = gram_factor_target(xs, lLmb, lLmb0, lnug, row_scale=ones,
-                           diag_vec=diag_vec, compute_dtype=compute_dtype,
-                           kind=kernel)
+    built = gram_factor_target(xs, lLmb, lLmb0, lnug, row_scale=ones,
+                               diag_vec=diag_vec, compute_dtype=compute_dtype,
+                               kind=kernel, want_c0=want_grad)
+    A, C0 = built if want_grad else (built, None)
     if _use_inv_flow(compute_dtype, A.dtype):
         # f64 fused factor+inverse-residual flow — see _use_inv_flow
         LT, fac = linalg.cholesky_tri_inverse(A)
@@ -290,36 +296,38 @@ def _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
                + chol_ld)
     terms = (-0.5 * jnp.sum((b.astype(dt) * Cu).astype(jnp.float64), axis=-1)
              + 0.5 * logdetA)
-    # f32 residual factor for mixed — see _full_terms_fwd_impl
-    fac_res = fac.astype(jnp.float32) if mixed_ops.is_mixed(compute_dtype) \
-        else fac
-    return terms, (xs, sr, lLmb, lLmb0, lnug, D, b, fac_res, u, Cu)
+    if not want_grad:
+        return terms, None
+    # Gradient primitives (tbar-linear) — see _full_terms_fwd_impl
+    vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else LT.dtype
+    if _use_inv_flow(compute_dtype, A.dtype):
+        Tinv = linalg.gram_tri_lower(fac).astype(vdt)      # (C + Lam)^{-1}
+    else:
+        fac_seed = fac.astype(jnp.float32) \
+            if mixed_ops.is_mixed(compute_dtype) else fac
+        Tinv = _factor_inverse(fac_seed, compute_dtype).astype(vdt)
+    u_v = u.astype(vdt)
+    cbar0 = 0.5 * Tinv - 0.5 * u_v[:, :, None] * u_v[:, None, :]
+    glens0, gamp0, gnug0 = gram_vjp(xs, xs, lLmb, lLmb0, lnug, same=True,
+                                    cbar=cbar0, kind=kernel, c0=C0)
+    bbar0 = (-Cu).astype(b.dtype)
+    return terms, (xs, sr, D, glens0, gamp0, gnug0, bbar0)
 
 
 def _rep_terms_vjp_fwd(compute_dtype, jitter, kernel, xs, sr, lLmb, lLmb0,
                        lnug, D, b):
     return _rep_terms_fwd_impl(compute_dtype, jitter, kernel, xs, sr,
-                               lLmb, lLmb0, lnug, D, b)
+                               lLmb, lLmb0, lnug, D, b, want_grad=True)
 
 
 def _rep_terms_vjp_bwd(compute_dtype, jitter, kernel, res, tbar):
-    xs, sr, lLmb, lLmb0, lnug, D, b, fac, u, Cu = res
-    dt = u.dtype  # model dtype (fac may be the f32-stored mixed residual)
-    vdt = jnp.float32 if mixed_ops.is_mixed(compute_dtype) else dt
-    if _use_inv_flow(compute_dtype, fac.dtype):
-        Tinv = linalg.gram_tri_lower(fac).astype(vdt)      # (C + Lam)^{-1}
-    else:
-        Tinv = _factor_inverse(fac, compute_dtype).astype(vdt)
-    tb = tbar.astype(vdt)
-    u_v = u.astype(vdt)
-    Cbar = tb[:, None, None] * (0.5 * Tinv
-                                - 0.5 * u_v[:, :, None] * u_v[:, None, :])
-    glens, gamp, gnug = gram_vjp(xs, xs, lLmb, lLmb0, lnug, same=True,
-                                 cbar=Cbar, kind=kernel)
-    bbar = (-tbar.astype(dt)[:, None] * Cu).astype(b.dtype)
+    xs, sr, D, glens0, gamp0, gnug0, bbar0 = res
     return (jnp.zeros_like(xs), jnp.zeros_like(sr),
-            glens.astype(lLmb.dtype), gamp.astype(lLmb0.dtype),
-            gnug.astype(lnug.dtype), jnp.zeros_like(D), bbar)
+            tbar.astype(glens0.dtype)[:, None] * glens0,
+            tbar.astype(gamp0.dtype) * gamp0,
+            tbar.astype(gnug0.dtype) * gnug0,
+            jnp.zeros_like(D),
+            tbar.astype(bbar0.dtype)[:, None] * bbar0)
 
 
 _rep_terms.defvjp(_rep_terms_vjp_fwd, _rep_terms_vjp_bwd)

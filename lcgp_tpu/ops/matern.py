@@ -24,7 +24,8 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
+def matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
+                  want_c0: bool = False):
     """Batched Gram stack.
 
     Parameters
@@ -40,10 +41,15 @@ def matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
         a static argument because the reference decides it with a
         data-dependent ``tf.reduce_all(tf.equal(...))`` which cannot exist
         under jit; all internal call sites know it statically.
+    want_c0 : also return the raw correlation stack ``C0`` (before the
+        nugget/amplitude epilogue) so callers can feed it back to
+        :func:`matern32_gram_vjp` and skip its rebuild — the C0 build is
+        the expensive part (d elementwise passes + one exp, emulated-f64
+        transcendental on the parity path).
 
     Returns
     -------
-    (q, n1, n2) covariance stack.
+    (q, n1, n2) covariance stack; ``(stack, c0)`` when ``want_c0``.
     """
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)
@@ -73,11 +79,12 @@ def matern32_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
     c = (1.0 - eta)[:, None, None] * c0
     if same:
         c = c + eta[:, None, None] * jnp.eye(n1, dtype=dt)[None, :, :]
-    return amplitudes[:, None, None] * c
+    c = amplitudes[:, None, None] * c
+    return (c, c0) if want_c0 else c
 
 
 def matern32_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *,
-                      same: bool, cbar):
+                      same: bool, cbar, c0=None):
     """Analytic, memory-light VJP of :func:`matern32_gram`.
 
     Given the cotangent ``cbar`` (q,n1,n2) of the Gram stack, returns
@@ -87,6 +94,10 @@ def matern32_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *,
         dC/dl_j   = amp (1-eta) C0 S_j^2 / ((1+S_j) l_j)
         dC/damp   = (1-eta) C0 + eta I[same]
         dC/dnug   = amp (I[same] - C0) / (1+nug)^2
+
+    ``c0``: the forward's raw correlation stack (``want_c0=True``).  When
+    given, the d-pass product/exp rebuild is skipped (only the per-dim
+    |u-v| strips for glens are re-formed — abs-diffs, no transcendentals).
     """
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)
@@ -100,14 +111,17 @@ def matern32_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *,
     u1 = x1.astype(dt)[None, :, :] * inv_l[:, None, :]
     u2 = x2.astype(dt)[None, :, :] * inv_l[:, None, :]
 
-    q, n1 = u1.shape[0], u1.shape[1]
-    prod = jnp.ones((q, n1, u2.shape[1]), dtype=dt)
-    ssum = jnp.zeros_like(prod)
-    for j in range(d):
-        s = jnp.abs(u1[:, :, j][:, :, None] - u2[:, :, j][:, None, :])
-        prod = prod * (1.0 + s)
-        ssum = ssum + s
-    c0 = prod * jnp.exp(-ssum)
+    if c0 is None:
+        q, n1 = u1.shape[0], u1.shape[1]
+        prod = jnp.ones((q, n1, u2.shape[1]), dtype=dt)
+        ssum = jnp.zeros_like(prod)
+        for j in range(d):
+            s = jnp.abs(u1[:, :, j][:, :, None] - u2[:, :, j][:, None, :])
+            prod = prod * (1.0 + s)
+            ssum = ssum + s
+        c0 = prod * jnp.exp(-ssum)
+    else:
+        c0 = c0.astype(dt)
 
     amp = amplitudes.astype(dt)
     nug = nuggets.astype(dt)

@@ -24,8 +24,12 @@ import jax.numpy as jnp
 _A = math.sqrt(5.0)
 
 
-def matern52_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
-    """Batched (q, n1, n2) Matérn 5/2 Gram stack."""
+def matern52_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
+                  want_c0: bool = False):
+    """Batched (q, n1, n2) Matérn 5/2 Gram stack.
+
+    ``want_c0`` also returns the raw correlation stack for reuse by
+    :func:`matern52_gram_vjp` (see ops/matern.py)."""
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)
     lengthscales = jnp.atleast_2d(jnp.asarray(lengthscales))
@@ -52,11 +56,12 @@ def matern52_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
     c = (1.0 - eta)[:, None, None] * c0
     if same:
         c = c + eta[:, None, None] * jnp.eye(n1, dtype=dt)[None, :, :]
-    return amplitudes[:, None, None] * c
+    c = amplitudes[:, None, None] * c
+    return (c, c0) if want_c0 else c
 
 
 def matern52_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *,
-                      same: bool, cbar):
+                      same: bool, cbar, c0=None):
     """Analytic VJP (glens (q,d), gamp (q,), gnug (q,)).
 
     Per-dimension log-derivative of the 1-D factor
@@ -79,14 +84,17 @@ def matern52_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *,
     u1 = x1.astype(dt)[None, :, :] * inv_l[:, None, :]
     u2 = x2.astype(dt)[None, :, :] * inv_l[:, None, :]
 
-    q, n1 = u1.shape[0], u1.shape[1]
-    prod = jnp.ones((q, n1, u2.shape[1]), dtype=dt)
-    ssum = jnp.zeros_like(prod)
-    for j in range(d):
-        s = jnp.abs(u1[:, :, j][:, :, None] - u2[:, :, j][:, None, :])
-        prod = prod * (1.0 + _A * s + (5.0 / 3.0) * s * s)
-        ssum = ssum + s
-    c0 = prod * jnp.exp(-_A * ssum)
+    if c0 is None:
+        q, n1 = u1.shape[0], u1.shape[1]
+        prod = jnp.ones((q, n1, u2.shape[1]), dtype=dt)
+        ssum = jnp.zeros_like(prod)
+        for j in range(d):
+            s = jnp.abs(u1[:, :, j][:, :, None] - u2[:, :, j][:, None, :])
+            prod = prod * (1.0 + _A * s + (5.0 / 3.0) * s * s)
+            ssum = ssum + s
+        c0 = prod * jnp.exp(-_A * ssum)
+    else:
+        c0 = c0.astype(dt)
 
     amp = amplitudes.astype(dt)
     nug = nuggets.astype(dt)

@@ -19,10 +19,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def rbf_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
+def rbf_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
+             want_c0: bool = False):
     """Batched (q, n1, n2) SE Gram stack.
 
     C0 = exp(-0.5 * sum_j ((x1_j - x2_j)/l_j)^2), per-component l (q,d).
+    ``want_c0`` also returns C0 for reuse by :func:`rbf_gram_vjp`.
     """
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)
@@ -48,11 +50,12 @@ def rbf_gram(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool):
     if same:
         n1 = x1.shape[0]
         c = c + eta[:, None, None] * jnp.eye(n1, dtype=dt)[None, :, :]
-    return amplitudes[:, None, None] * c
+    c = amplitudes[:, None, None] * c
+    return (c, c0) if want_c0 else c
 
 
 def rbf_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
-                 cbar):
+                 cbar, c0=None):
     """Analytic VJP of :func:`rbf_gram` (see matern.matern32_gram_vjp).
 
     dC0/dl_j = C0 * s2_j / l_j with s2_j = ((x1_j - x2_j)/l_j)^2.
@@ -68,11 +71,14 @@ def rbf_gram_vjp(x1, x2, lengthscales, amplitudes, nuggets, *, same: bool,
     inv_l = (1.0 / lengthscales).astype(dt)
     u1 = x1.astype(dt)[None, :, :] * inv_l[:, None, :]
     u2 = x2.astype(dt)[None, :, :] * inv_l[:, None, :]
-    sq1 = jnp.sum(u1 * u1, axis=-1)
-    sq2 = jnp.sum(u2 * u2, axis=-1)
-    d2 = jnp.maximum(sq1[:, :, None] + sq2[:, None, :]
-                     - 2.0 * jnp.einsum('qnd,qmd->qnm', u1, u2), 0.0)
-    c0 = jnp.exp(-0.5 * d2)
+    if c0 is None:
+        sq1 = jnp.sum(u1 * u1, axis=-1)
+        sq2 = jnp.sum(u2 * u2, axis=-1)
+        d2 = jnp.maximum(sq1[:, :, None] + sq2[:, None, :]
+                         - 2.0 * jnp.einsum('qnd,qmd->qnm', u1, u2), 0.0)
+        c0 = jnp.exp(-0.5 * d2)
+    else:
+        c0 = c0.astype(dt)
 
     amp = amplitudes.astype(dt)
     nug = nuggets.astype(dt)

@@ -120,3 +120,31 @@ class TestPublicAPI:
         out = matern32_diag(np.zeros((7, 2)), np.array([1.0, 3.0]))
         assert out.shape == (2, 7)
         np.testing.assert_allclose(np.asarray(out)[1], 3.0)
+
+
+class TestC0Reuse:
+    """gram_stack(want_c0=True) + gram_vjp(c0=) must equal the rebuild
+    path exactly — the gradient-in-forward losses rely on it."""
+
+    @pytest.mark.parametrize('kind', ['matern32', 'matern52', 'rbf'])
+    def test_vjp_with_c0_matches_rebuild(self, kind):
+        from lcgp_tpu.ops.gram import gram_stack, gram_vjp
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.uniform(0, 1, (13, 3)))
+        lens = jnp.asarray(rng.uniform(0.5, 2.0, (2, 3)))
+        amps = jnp.asarray([1.3, 0.8])
+        nugs = jnp.asarray([1e-3, 1e-2])
+        cbar = jnp.asarray(rng.standard_normal((2, 13, 13)))
+
+        C, c0 = gram_stack(x, x, lens, amps, nugs, same=True, kind=kind,
+                           want_c0=True)
+        C_plain = gram_stack(x, x, lens, amps, nugs, same=True, kind=kind)
+        np.testing.assert_array_equal(np.asarray(C), np.asarray(C_plain))
+
+        with_c0 = gram_vjp(x, x, lens, amps, nugs, same=True, cbar=cbar,
+                           kind=kind, c0=c0)
+        rebuilt = gram_vjp(x, x, lens, amps, nugs, same=True, cbar=cbar,
+                           kind=kind)
+        for a, b in zip(with_c0, rebuilt):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-14, atol=1e-14)
